@@ -1,0 +1,53 @@
+"""tpu-kge: TPU-native knowledge-graph-embedding framework.
+
+A from-scratch JAX/XLA/Pallas re-architecture of the capabilities of
+unmeshvrije/scikit-kge (blueprint: SURVEY.md). Functional core:
+
+    from skge_tpu import HolE, AdaGrad, training, sampling, evaluation
+
+Reference-compatible class surface (skge-style Model/Trainer/Sampler API):
+
+    from skge_tpu import compat
+"""
+
+from skge_tpu.models import ERMLP, MODELS, HolE, KGEModel, RESCAL, TransE
+from skge_tpu.optim import OPTIMIZERS, AdaGrad, SGD
+from skge_tpu.sampling import (
+    SAMPLERS,
+    BernoulliSampler,
+    CorruptedSampler,
+    LCWASampler,
+    RandomModeSampler,
+)
+from skge_tpu.training import (
+    TrainState,
+    init_state,
+    make_epoch_fn,
+    make_pairwise_step,
+    make_pointwise_step,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "KGEModel",
+    "TransE",
+    "RESCAL",
+    "HolE",
+    "ERMLP",
+    "MODELS",
+    "AdaGrad",
+    "SGD",
+    "OPTIMIZERS",
+    "RandomModeSampler",
+    "LCWASampler",
+    "BernoulliSampler",
+    "CorruptedSampler",
+    "SAMPLERS",
+    "TrainState",
+    "init_state",
+    "make_pairwise_step",
+    "make_pointwise_step",
+    "make_epoch_fn",
+    "__version__",
+]

@@ -1,0 +1,260 @@
+"""Datasets and host-side index building.
+
+Covers the reference's data conventions (SURVEY.md §2.2): pickled dataset
+dicts with `train_subs`/`valid_subs`/`test_subs` lists of (s, o, p) int
+tuples plus `entities`/`relations` vocab lists (WN18/FB15k format of the
+companion harness). Also provides:
+
+- `type_index_arrays`: flat CSR-like per-relation observed subject/object
+  candidate lists (skge/sample.py type_index ~100) for `CorruptedSampler`;
+- `bernoulli_probs`: per-relation corrupt-subject probability tph/(tph+hpt);
+- `synthetic_kg`: a deterministic structured synthetic KG generator used by
+  tests and benchmarks (no network access; real WN18/FB15k pickles load via
+  `load_dataset` when present);
+- `true_triple_index`: the filtered-evaluation known-true lookup.
+
+All triples are (N, 3) int32 arrays in (s, o, p) column order.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Dataset:
+    train: np.ndarray  # (N, 3) int32 (s, o, p)
+    valid: np.ndarray
+    test: np.ndarray
+    n_entities: int
+    n_relations: int
+    entities: Optional[List[str]] = None
+    relations: Optional[List[str]] = None
+
+    @property
+    def sz(self) -> Tuple[int, int, int]:
+        return (self.n_entities, self.n_entities, self.n_relations)
+
+    def all_triples(self) -> np.ndarray:
+        return np.concatenate([self.train, self.valid, self.test])
+
+
+def _to_array(subs: Sequence[Tuple[int, int, int]]) -> np.ndarray:
+    a = np.asarray(list(subs), dtype=np.int32)
+    if a.size == 0:
+        return np.zeros((0, 3), np.int32)
+    return a.reshape(-1, 3)
+
+
+def load_dataset(path: str) -> Dataset:
+    """Load a reference-format pickle (SURVEY.md §2.2 'Datasets')."""
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    entities = list(data["entities"])
+    relations = list(data["relations"])
+    return Dataset(
+        train=_to_array(data["train_subs"]),
+        valid=_to_array(data.get("valid_subs", [])),
+        test=_to_array(data.get("test_subs", [])),
+        n_entities=len(entities),
+        n_relations=len(relations),
+        entities=entities,
+        relations=relations,
+    )
+
+
+def save_dataset(ds: Dataset, path: str) -> None:
+    """Write the reference pickle format."""
+    data = {
+        "train_subs": [tuple(map(int, t)) for t in ds.train],
+        "valid_subs": [tuple(map(int, t)) for t in ds.valid],
+        "test_subs": [tuple(map(int, t)) for t in ds.test],
+        "entities": ds.entities or [f"e{i}" for i in range(ds.n_entities)],
+        "relations": ds.relations or [f"r{i}" for i in range(ds.n_relations)],
+    }
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+
+
+def load_tsv(
+    train_path: str, valid_path: str, test_path: str, order: str = "spo"
+) -> Dataset:
+    """Load whitespace-separated triple files (FB15k/WN18 raw release format).
+
+    `order` gives the file column order; storage is always (s, o, p).
+    """
+    ent: Dict[str, int] = {}
+    rel: Dict[str, int] = {}
+
+    def intern(d, k):
+        if k not in d:
+            d[k] = len(d)
+        return d[k]
+
+    def read(path):
+        rows = []
+        cols = {c: i for i, c in enumerate(order)}
+        with open(path) as f:
+            for line in f:
+                parts = line.strip().split()
+                if len(parts) != 3:
+                    continue
+                s = intern(ent, parts[cols["s"]])
+                p = intern(rel, parts[cols["p"]])
+                o = intern(ent, parts[cols["o"]])
+                rows.append((s, o, p))
+        return _to_array(rows)
+
+    train, valid, test = read(train_path), read(valid_path), read(test_path)
+    return Dataset(
+        train=train,
+        valid=valid,
+        test=test,
+        n_entities=len(ent),
+        n_relations=len(rel),
+        entities=list(ent),
+        relations=list(rel),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic KG (tests/benchmarks; no network access in this environment).
+# ---------------------------------------------------------------------------
+
+def synthetic_kg(
+    n_entities: int,
+    n_relations: int,
+    n_train: int,
+    n_valid: int = 0,
+    n_test: int = 0,
+    seed: int = 0,
+    clustered: bool = True,
+) -> Dataset:
+    """Deterministic synthetic KG with mild relational structure.
+
+    `clustered=True` gives each relation preferred subject/object entity
+    blocks (so type-index and Bernoulli statistics are non-trivial and models
+    can actually learn something on mini-KGs); entities are drawn zipf-ish to
+    mimic real degree skew.
+    """
+    rng = np.random.default_rng(seed)
+    total = n_train + n_valid + n_test
+
+    if clustered and n_relations > 1:
+        p = rng.integers(0, n_relations, total)
+        block = max(2, n_entities // n_relations)
+        s_lo = (p * 7919) % max(1, n_entities - block)
+        o_lo = (p * 104729) % max(1, n_entities - block)
+        s = s_lo + rng.integers(0, block, total)
+        o = o_lo + rng.integers(0, block, total)
+    else:
+        p = rng.integers(0, n_relations, total)
+        s = rng.integers(0, n_entities, total)
+        o = rng.integers(0, n_entities, total)
+
+    triples = np.stack([s, o, p], axis=1).astype(np.int32)
+    # de-dup across the whole set so train/valid/test are disjoint
+    keys = encode_keys_np(triples, n_entities, n_relations)
+    _, first = np.unique(keys, return_index=True)
+    triples = triples[np.sort(first)]
+    while triples.shape[0] < total:  # top up after dedup
+        extra = np.stack(
+            [
+                rng.integers(0, n_entities, total),
+                rng.integers(0, n_entities, total),
+                rng.integers(0, n_relations, total),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        triples = np.concatenate([triples, extra])
+        keys = encode_keys_np(triples, n_entities, n_relations)
+        _, first = np.unique(keys, return_index=True)
+        triples = triples[np.sort(first)]
+    triples = triples[:total]
+    return Dataset(
+        train=triples[:n_train],
+        valid=triples[n_train : n_train + n_valid],
+        test=triples[n_train + n_valid :],
+        n_entities=n_entities,
+        n_relations=n_relations,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index building (host-side, NumPy)
+# ---------------------------------------------------------------------------
+
+def encode_keys_np(triples: np.ndarray, n_entities: int, n_relations: int):
+    t = triples.astype(np.int64)
+    return (t[..., 0] * n_entities + t[..., 1]) * n_relations + t[..., 2]
+
+
+def sorted_train_keys(ds: Dataset) -> np.ndarray:
+    """Sorted int64 train-triple keys for LCWA membership tests."""
+    return np.sort(encode_keys_np(ds.train, ds.n_entities, ds.n_relations))
+
+
+def type_index_arrays(triples: np.ndarray, n_relations: int):
+    """Per-relation observed subjects/objects as flat CSR-like arrays.
+
+    Equivalent of skge/sample.py type_index (~100): for each relation p, the
+    sets of entities seen as subject / as object. Returns
+    (sub_flat, sub_off, sub_cnt, obj_flat, obj_off, obj_cnt), all int32.
+    """
+
+    def build(col):
+        lists = [np.array([], np.int32)] * n_relations
+        for p in range(n_relations):
+            m = triples[:, 2] == p
+            lists[p] = np.unique(triples[m, col]).astype(np.int32)
+        cnt = np.array([len(x) for x in lists], np.int32)
+        off = np.zeros(n_relations, np.int32)
+        if n_relations > 1:
+            off[1:] = np.cumsum(cnt)[:-1]
+        flat = (
+            np.concatenate(lists).astype(np.int32)
+            if cnt.sum() > 0
+            else np.zeros(1, np.int32)
+        )
+        return flat, off, cnt
+
+    sub = build(0)
+    obj = build(1)
+    return (*sub, *obj)
+
+
+def bernoulli_probs(triples: np.ndarray, n_relations: int) -> np.ndarray:
+    """Per-relation P(corrupt subject) = tph / (tph + hpt) (TransH)."""
+    probs = np.full(n_relations, 0.5, np.float32)
+    for p in range(n_relations):
+        t = triples[triples[:, 2] == p]
+        if t.shape[0] == 0:
+            continue
+        # tails per head / heads per tail
+        _, hc = np.unique(t[:, 0], return_counts=True)
+        _, tc = np.unique(t[:, 1], return_counts=True)
+        tph = hc.mean()  # avg #objects per subject
+        hpt = tc.mean()  # avg #subjects per object
+        probs[p] = tph / (tph + hpt)
+    return probs
+
+
+def true_triple_index(triples: np.ndarray):
+    """Known-true lookup for filtered evaluation (SURVEY.md §3.4).
+
+    Returns dicts: (s, p) -> sorted int32 array of true objects, and
+    (o, p) -> sorted int32 array of true subjects.
+    """
+    sp_o: Dict[Tuple[int, int], list] = {}
+    op_s: Dict[Tuple[int, int], list] = {}
+    for s, o, p in triples:
+        sp_o.setdefault((int(s), int(p)), []).append(int(o))
+        op_s.setdefault((int(o), int(p)), []).append(int(s))
+    return (
+        {k: np.unique(v).astype(np.int32) for k, v in sp_o.items()},
+        {k: np.unique(v).astype(np.int32) for k, v in op_s.items()},
+    )

@@ -1,0 +1,107 @@
+"""Duplicate-index gradient aggregation — the `grad_sum_matrix` equivalent.
+
+Reference semantics (skge/util.py ~30, SURVEY.md §3.1): per-occurrence row
+gradients are AVERAGED over duplicate indices (sum divided by occurrence
+count), not summed. Rows touched only by masked-out occurrences (padding or
+non-violating pairs) must receive NO update at all — no AdaGrad accumulation
+and no post-constraint projection.
+
+Two TPU-native implementations:
+
+- `segment_mean_unique`: batch-local. Sort-based `jnp.unique(size=T)` over
+  the static-size occurrence list, then `segment_sum`. Touches only O(batch)
+  rows; this is the scalable path for HBM-resident tables (no dense
+  table-sized temporaries).
+- `segment_mean_dense`: scatter-adds into full-table accumulators. Simpler
+  for XLA SPMD when the table is row-sharded across a mesh (the scatter and
+  the division stay sharded); used by the multi-chip path.
+
+Both return enough information for a sparse optimizer update that exactly
+matches the reference's "filter violations first, then average" order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class UniqueGrads(NamedTuple):
+    """Batch-local averaged gradients.
+
+    uidx:  (T,) unique row ids; padding slots hold `num_rows` (out of range,
+           dropped by `.at[].set(mode='drop')` scatters).
+    grads: (T, ...) averaged gradient per unique row (zero for padding).
+    count: (T,) number of unmasked occurrences (0 => row must not be updated).
+    """
+
+    uidx: jnp.ndarray
+    grads: jnp.ndarray
+    count: jnp.ndarray
+
+
+class DenseGrads(NamedTuple):
+    """Full-table averaged gradients.
+
+    grads: same shape as the parameter table; averaged gradient (zero rows
+           where untouched).
+    count: (num_rows,) unmasked occurrence counts (0 => untouched).
+    """
+
+    grads: jnp.ndarray
+    count: jnp.ndarray
+
+
+def _bmask(mask: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Reshape (T,) mask to broadcast against (T, ...) grads."""
+    return mask.reshape(mask.shape + (1,) * (ndim - 1))
+
+
+def segment_mean_unique(
+    indices: jnp.ndarray,
+    grads: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_rows: int,
+) -> UniqueGrads:
+    """Average per-occurrence `grads` over duplicate `indices`.
+
+    indices: (T,) int row ids (concatenated over all roles/slots).
+    grads:   (T, ...) per-occurrence gradients.
+    mask:    (T,) float {0,1}; masked occurrences contribute neither gradient
+             nor count (reference filters violating pairs BEFORE building the
+             index list — skge/hole.py ~70).
+    """
+    t = indices.shape[0]
+    uidx, inv = jnp.unique(
+        indices, size=t, fill_value=num_rows, return_inverse=True
+    )
+    inv = inv.reshape(-1)
+    count = jax.ops.segment_sum(mask, inv, num_segments=t)
+    gsum = jax.ops.segment_sum(
+        grads * _bmask(mask, grads.ndim).astype(grads.dtype),
+        inv,
+        num_segments=t,
+    )
+    gavg = gsum / _bmask(jnp.maximum(count, 1.0), gsum.ndim)
+    return UniqueGrads(uidx=uidx, grads=gavg, count=count)
+
+
+def segment_mean_dense(
+    indices: jnp.ndarray,
+    grads: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_rows: int,
+) -> DenseGrads:
+    """Same semantics as `segment_mean_unique` but into full-table arrays."""
+    m = _bmask(mask, grads.ndim).astype(grads.dtype)
+    table_shape = (num_rows,) + grads.shape[1:]
+    gsum = jnp.zeros(table_shape, grads.dtype).at[indices].add(
+        grads * m, mode="drop"
+    )
+    count = jnp.zeros((num_rows,), mask.dtype).at[indices].add(
+        mask, mode="drop"
+    )
+    gavg = gsum / _bmask(jnp.maximum(count, 1.0), gsum.ndim)
+    return DenseGrads(grads=gavg, count=count)

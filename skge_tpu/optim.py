@@ -1,0 +1,149 @@
+"""Sparse row optimizers — the skge/param.py equivalent, TPU-native.
+
+Reference semantics (skge/param.py, SURVEY.md §2.1 #2):
+
+- AdaGrad (~75): ``p2[idx] += g*g; param[idx] -= lr * g / max(sqrt(p2[idx]),
+  EPS)`` — the accumulator is updated FIRST and only at touched rows.
+- SGD (~65): ``param[idx] -= lr * g``.
+- Post-constraint (~110): ``normless1`` renormalizes ONLY the touched rows
+  whose L2 norm exceeds 1, applied after the update.
+
+TPU design: instead of in-place NumPy fancy-index mutation, updates are
+functional gather -> compute -> scatter over the unique touched rows produced
+by `skge_tpu.ops.aggregate`. Rows whose occurrence count is zero (padding,
+or touched only by non-violating pairs) are written back unchanged and the
+unique-list padding slots (id == num_rows) are dropped by the scatter, so a
+batch with zero violations is a perfect no-op — matching the reference's
+"return None, skip `_batch_step`" behavior (skge/base.py ~265). With
+`jax.jit` donation the gather/scatter pair updates the HBM-resident table in
+place.
+
+A dense variant (full-table gradients + touched mask) serves the SPMD
+multi-chip path where the table is row-sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from skge_tpu.ops.aggregate import DenseGrads, UniqueGrads
+
+OptState = Dict[str, Dict[str, jnp.ndarray]]
+
+EPS = 1e-6  # skge/param.py _EPS ([M] exact value; mirrored in the oracle)
+
+
+def _bcast(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    return v.reshape(v.shape + (1,) * (ndim - 1))
+
+
+def normless1_rows(rows: jnp.ndarray) -> jnp.ndarray:
+    """Project rows with L2 norm > 1 onto the unit ball (skge/param.py ~110).
+
+    For 3-D parameters the norm is over all trailing axes.
+    """
+    axes = tuple(range(1, rows.ndim))
+    sq = jnp.sum(rows * rows, axis=axes, keepdims=True)
+    norm = jnp.sqrt(sq)
+    return jnp.where(norm > 1.0, rows / jnp.maximum(norm, 1e-30), rows)
+
+
+POST_CONSTRAINTS = {"normless1": normless1_rows}
+
+
+@dataclass(frozen=True)
+class Optimizer:
+    """Base for sparse row optimizers. `lr` matches _DEF_LEARNING_RATE=0.1."""
+
+    lr: float = 0.1
+
+    def init(self, params) -> OptState:
+        raise NotImplementedError
+
+    def _step(
+        self, rows: jnp.ndarray, g: jnp.ndarray, slots: Dict[str, jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Return (new_rows, new_state_slots) for touched rows."""
+        raise NotImplementedError
+
+    # --- unique-row (batch-local) sparse update ---
+    def apply_unique(
+        self,
+        param: jnp.ndarray,
+        state: Dict[str, jnp.ndarray],
+        ug: UniqueGrads,
+        post: Optional[str] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        old_rows = param[ug.uidx]
+        old_state = {k: v[ug.uidx] for k, v in state.items()}
+        new_rows, new_state = self._step(old_rows, ug.grads, old_state)
+        if post is not None:
+            new_rows = POST_CONSTRAINTS[post](new_rows)
+        valid = ug.count > 0
+        new_rows = jnp.where(_bcast(valid, new_rows.ndim), new_rows, old_rows)
+        param = param.at[ug.uidx].set(new_rows, mode="drop")
+        out_state = {}
+        for k in state:
+            ns = jnp.where(
+                _bcast(valid, new_state[k].ndim), new_state[k], old_state[k]
+            )
+            out_state[k] = state[k].at[ug.uidx].set(ns, mode="drop")
+        return param, out_state
+
+    # --- dense (full-table) sparse update for SPMD sharded tables ---
+    def apply_dense_masked(
+        self,
+        param: jnp.ndarray,
+        state: Dict[str, jnp.ndarray],
+        dg: DenseGrads,
+        post: Optional[str] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        new_rows, new_state = self._step(param, dg.grads, state)
+        if post is not None:
+            new_rows = POST_CONSTRAINTS[post](new_rows)
+        valid = dg.count > 0
+        param = jnp.where(_bcast(valid, param.ndim), new_rows, param)
+        out_state = {
+            k: jnp.where(_bcast(valid, state[k].ndim), new_state[k], state[k])
+            for k in state
+        }
+        return param, out_state
+
+    # --- dense unconditional update (ER-MLP W/C) ---
+    def apply_full(
+        self, param: jnp.ndarray, state: Dict[str, jnp.ndarray], g: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        return self._step(param, g, state)
+
+
+@dataclass(frozen=True)
+class AdaGrad(Optimizer):
+    """Row-sparse AdaGrad (skge/param.py ~75)."""
+
+    eps: float = EPS
+
+    def init(self, params) -> OptState:
+        return {k: {"p2": jnp.zeros_like(v)} for k, v in params.items()}
+
+    def _step(self, rows, g, slots):
+        p2 = slots["p2"] + g * g
+        h = jnp.maximum(jnp.sqrt(p2), self.eps)
+        return rows - self.lr * g / h, {"p2": p2}
+
+
+@dataclass(frozen=True)
+class SGD(Optimizer):
+    """Plain SGD (skge/param.py ~65). Stateless."""
+
+    def init(self, params) -> OptState:
+        return {k: {} for k in params}
+
+    def _step(self, rows, g, slots):
+        return rows - self.lr * g, {}
+
+
+OPTIMIZERS = {"adagrad": AdaGrad, "sgd": SGD}

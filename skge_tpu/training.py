@@ -1,0 +1,291 @@
+"""Functional training core: losses, gradients, sparse updates, train steps.
+
+This module replaces the reference's per-model hand-written `_gradients` /
+`_pairwise_gradients` (skge/{transe,rescal,hole,ermlp}.py) and the trainer
+batch machinery (skge/base.py ~140-265) with ONE generic, jittable pipeline:
+
+    gather rows -> score -> jax.grad w.r.t. the gathered rows
+    -> duplicate-index segment averaging -> sparse optimizer update.
+
+Reference semantics preserved exactly (verified against
+tests/oracle/oracle_numpy.py):
+
+- pointwise logistic loss `sum(logaddexp(0, -y*f))`, negatives appended to
+  the batch (skge/base.py ~180);
+- pairwise margin ranking on violating pairs only; a batch with zero
+  violations performs NO update at all (skge/base.py ~265);
+- the pairwise margin test applies the model's `pairwise_af` transform
+  (sigmoid for HolE) BEFORE comparing (skge/hole.py ~70);
+- gradients are AVERAGED over duplicate row indices (skge/util.py ~30);
+- `rparam * row` L2 regularization added per unique touched row;
+- dense params (ER-MLP W/C) receive the masked-mean batch gradient.
+
+Everything is static-shape: batches are padded and masked, so whole epochs
+compile once and run as `lax.scan` on-device (no per-batch Python).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from skge_tpu.models.base import ACTIVATIONS, KGEModel, Params
+from skge_tpu.ops.aggregate import segment_mean_dense, segment_mean_unique
+from skge_tpu.optim import Optimizer, OptState
+
+Arrays = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: OptState
+    key: jax.Array
+    step: jnp.ndarray
+
+
+def init_state(model: KGEModel, opt: Optimizer, key: jax.Array) -> TrainState:
+    pk, sk = jax.random.split(key)
+    params = model.init_params(pk)
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        key=sk,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Occurrence grouping: slot gradients -> per-parameter concatenated
+# (indices, grads, mask) lists, mirroring the reference's
+# `grad_sum_matrix(concat(indices))` calls.
+# ---------------------------------------------------------------------------
+
+def _group_occurrences(
+    model: KGEModel,
+    batches,  # iterable of (slot_grads: dict, sop: (s, o, p), mask: (B,))
+):
+    occ: Dict[str, Tuple[list, list, list]] = {}
+    for slot, pname, role in model.slot_spec():
+        idxs, grads, masks = occ.setdefault(pname, ([], [], []))
+        for slot_grads, (s, o, p), mask in batches:
+            idxs.append({"s": s, "o": o, "p": p}[role])
+            grads.append(slot_grads[slot])
+            masks.append(mask)
+    return {
+        pname: (
+            jnp.concatenate(i),
+            jnp.concatenate(g),
+            jnp.concatenate(m),
+        )
+        for pname, (i, g, m) in occ.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# Loss gradients
+# ---------------------------------------------------------------------------
+
+def pointwise_grads(
+    model: KGEModel,
+    params: Params,
+    triples: jnp.ndarray,  # (B, 3) int, (s, o, p)
+    ys: jnp.ndarray,       # (B,) float +-1
+    mask: jnp.ndarray,     # (B,) float {0,1}
+):
+    """Logistic loss over the (positives + appended negatives) batch."""
+    s, o, p = triples[:, 0], triples[:, 1], triples[:, 2]
+    rows = model.gather_rows(params, s, o, p)
+    dense = model.dense_params(params)
+
+    def loss_fn(rows, dense):
+        f = model.score_from_rows(rows, dense)
+        per = jnp.logaddexp(0.0, -ys * f) * mask
+        return jnp.sum(per)
+
+    loss, (g_rows, g_dense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        rows, dense
+    )
+    occ = _group_occurrences(model, [(g_rows, (s, o, p), mask)])
+    n_valid = jnp.maximum(jnp.sum(mask), 1.0)
+    g_dense = {k: v / n_valid for k, v in g_dense.items()}
+    return loss, occ, g_dense
+
+
+def pairwise_grads(
+    model: KGEModel,
+    params: Params,
+    pos: jnp.ndarray,   # (M, 3) positives (repeated per negative)
+    neg: jnp.ndarray,   # (M, 3) corrupted triples
+    mask: jnp.ndarray,  # (M,) float {0,1} pair validity (padding/sampler)
+    margin: float,
+):
+    """Margin ranking loss on violating pairs only."""
+    sp, op_, pp = pos[:, 0], pos[:, 1], pos[:, 2]
+    sn, on_, pn = neg[:, 0], neg[:, 1], neg[:, 2]
+    rows_p = model.gather_rows(params, sp, op_, pp)
+    rows_n = model.gather_rows(params, sn, on_, pn)
+    dense = model.dense_params(params)
+    af = ACTIVATIONS[model.pairwise_af][0]
+
+    def loss_fn(rows_p, rows_n, dense):
+        gp = af(model.score_from_rows(rows_p, dense))
+        gn = af(model.score_from_rows(rows_n, dense))
+        viol = jnp.logical_and(gn + margin > gp, mask > 0)
+        fm = jax.lax.stop_gradient(viol.astype(gp.dtype))
+        loss = jnp.sum(fm * (margin + gn - gp))
+        return loss, fm
+
+    (loss, fm), (gr_p, gr_n, g_dense) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(rows_p, rows_n, dense)
+
+    occ = _group_occurrences(
+        model,
+        [(gr_p, (sp, op_, pp), fm), (gr_n, (sn, on_, pn), fm)],
+    )
+    nviol = jnp.sum(fm)
+    g_dense = {k: v / jnp.maximum(nviol, 1.0) for k, v in g_dense.items()}
+    return loss, nviol, occ, g_dense
+
+
+# ---------------------------------------------------------------------------
+# Updates
+# ---------------------------------------------------------------------------
+
+def apply_gradients(
+    model: KGEModel,
+    opt: Optimizer,
+    params: Params,
+    opt_state: OptState,
+    occ,                      # {pname: (indices, grads, mask)}
+    g_dense: Params,
+    aggregate: str = "unique",  # 'unique' (batch-local) | 'dense' (SPMD)
+) -> Tuple[Params, OptState]:
+    params = dict(params)
+    opt_state = dict(opt_state)
+    reg = model.regularization
+    for pname, (idx, g, m) in occ.items():
+        n_rows = model.num_rows(pname)
+        post = model.post_constraints.get(pname)
+        regularized = reg != 0.0 and pname in model.reg_row_params
+        if aggregate == "unique":
+            ug = segment_mean_unique(idx, g, m, n_rows)
+            if regularized:
+                ug = ug._replace(grads=ug.grads + reg * params[pname][ug.uidx])
+            params[pname], opt_state[pname] = opt.apply_unique(
+                params[pname], opt_state[pname], ug, post
+            )
+        elif aggregate == "dense":
+            dg = segment_mean_dense(idx, g, m, n_rows)
+            if regularized:
+                dg = dg._replace(grads=dg.grads + reg * params[pname])
+            params[pname], opt_state[pname] = opt.apply_dense_masked(
+                params[pname], opt_state[pname], dg, post
+            )
+        else:
+            raise ValueError(f"unknown aggregate mode {aggregate!r}")
+    for pname, g in g_dense.items():
+        params[pname], opt_state[pname] = opt.apply_full(
+            params[pname], opt_state[pname], g
+        )
+    return params, opt_state
+
+
+# ---------------------------------------------------------------------------
+# Train steps. `sampler` is a pure callable from skge_tpu.sampling.
+# ---------------------------------------------------------------------------
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    nviolations: jnp.ndarray
+
+
+def make_pairwise_step(
+    model: KGEModel,
+    opt: Optimizer,
+    sampler: Callable,  # (key, pos (B,3), mask (B,)) -> (pos_rep, neg, pair_mask)
+    margin: float,
+    aggregate: str = "unique",
+):
+    """One pairwise SGD step: sample negatives, rank, update on violations."""
+
+    def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
+        key, sk = jax.random.split(state.key)
+        pos_rep, neg, pair_mask = sampler(sk, batch, mask)
+        loss, nviol, occ, g_dense = pairwise_grads(
+            model, state.params, pos_rep, neg, pair_mask, margin
+        )
+        params, opt_state = apply_gradients(
+            model, opt, state.params, state.opt_state, occ, g_dense, aggregate
+        )
+        new_state = TrainState(params, opt_state, key, state.step + 1)
+        return new_state, StepMetrics(loss=loss, nviolations=nviol)
+
+    return step
+
+
+def make_pointwise_step(
+    model: KGEModel,
+    opt: Optimizer,
+    sampler: Callable,
+    aggregate: str = "unique",
+):
+    """One pointwise step: append sampled negatives (y=-1), logistic loss."""
+
+    def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
+        key, sk = jax.random.split(state.key)
+        pos_rep, neg, pair_mask = sampler(sk, batch, mask)
+        triples = jnp.concatenate([batch, neg], axis=0)
+        ys = jnp.concatenate(
+            [jnp.ones(batch.shape[0]), -jnp.ones(neg.shape[0])]
+        ).astype(model.jdtype)
+        m = jnp.concatenate([mask, pair_mask])
+        loss, occ, g_dense = pointwise_grads(
+            model, state.params, triples, ys, m
+        )
+        params, opt_state = apply_gradients(
+            model, opt, state.params, state.opt_state, occ, g_dense, aggregate
+        )
+        new_state = TrainState(params, opt_state, key, state.step + 1)
+        return new_state, StepMetrics(
+            loss=loss, nviolations=jnp.zeros((), loss.dtype)
+        )
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Epoch runner: shuffle -> pad -> scan over minibatches, fully on-device.
+# Mirrors StochasticTrainer._optim's epoch loop (skge/base.py ~150) but
+# compiles ONCE and runs nbatches steps per epoch inside lax.scan.
+# ---------------------------------------------------------------------------
+
+def make_epoch_fn(step_fn: Callable, n_triples: int, nbatches: int):
+    batch_size = -(-n_triples // nbatches)
+    padded = nbatches * batch_size
+
+    def epoch(state: TrainState, xs: jnp.ndarray):
+        """xs: (n_triples, 3) int32 device array."""
+        key, pk = jax.random.split(state.key)
+        state = state._replace(key=key)
+        perm = jax.random.permutation(pk, n_triples)
+        pad_idx = jnp.concatenate(
+            [perm, jnp.zeros((padded - n_triples,), perm.dtype)]
+        )
+        mask_flat = (
+            jnp.arange(padded) < n_triples
+        ).astype(jnp.float32)
+        batches = xs[pad_idx].reshape(nbatches, batch_size, 3)
+        masks = mask_flat.reshape(nbatches, batch_size)
+
+        def body(st, bm):
+            b, m = bm
+            return step_fn(st, b, m)
+
+        state, metrics = jax.lax.scan(body, state, (batches, masks))
+        return state, metrics
+
+    return epoch
