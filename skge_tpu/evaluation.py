@@ -1,0 +1,219 @@
+"""Filtered link-prediction ranking — the `FilteredRankingEval` equivalent.
+
+Reference semantics (companion harness kg/base.py, SURVEY.md §3.4): for each
+test triple (s, o, p), score ALL entities as object and as subject; the
+FILTERED rank masks every known-true triple (train ∪ valid ∪ test) except the
+target; report mean rank, MRR (raw + filtered) and Hits@{1,3,10} pooled over
+both prediction directions. Rank = 1 + #(strictly greater scores), i.e.
+optimistic tie-breaking [M — the reference's argsort order on exact ties is
+unspecified; ties are measure-zero for continuous scores].
+
+TPU design: the all-entity sweep is each model's `score_all_*` — one MXU
+matmul per batch (SURVEY.md §3.4 "on TPU this becomes a sharded matmul").
+Known-true filtering avoids materializing (n_test, n_e) boolean masks: the
+host precomputes, once per eval set, a flat (row, entity) pair list per test
+batch (padded to a static width), and the device scatters -inf at those pairs
+(`mode='drop'` for padding). Ranks come back as small int arrays; metric
+reduction happens on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skge_tpu.data import true_triple_index
+from skge_tpu.models.base import KGEModel, Params
+
+NEG_INF = -1e30
+
+
+@dataclass
+class RankingResult:
+    """Pooled metrics over both directions (subject + object prediction)."""
+
+    mrr: float
+    mrr_raw: float
+    mean_rank: float
+    mean_rank_raw: float
+    hits: Dict[int, float]
+    hits_raw: Dict[int, float]
+    ranks: np.ndarray       # (2, n_test) filtered ranks [object-dir, subject-dir]
+    ranks_raw: np.ndarray
+
+    def summary(self) -> Dict[str, float]:
+        out = {
+            "mrr": self.mrr,
+            "mrr_raw": self.mrr_raw,
+            "mean_rank": self.mean_rank,
+            "mean_rank_raw": self.mean_rank_raw,
+        }
+        for k, v in self.hits.items():
+            out[f"hits@{k}"] = v
+        for k, v in self.hits_raw.items():
+            out[f"hits@{k}_raw"] = v
+        return out
+
+
+def ranking_scores(
+    ranks: np.ndarray, hits_at: Sequence[int] = (1, 3, 10)
+) -> Tuple[float, float, Dict[int, float]]:
+    """(MRR, mean rank, {k: Hits@k}) from a flat rank array."""
+    r = ranks.astype(np.float64).ravel()
+    return (
+        float(np.mean(1.0 / r)),
+        float(np.mean(r)),
+        {k: float(np.mean(r <= k)) for k in hits_at},
+    )
+
+
+def _rank_kernel(model: KGEModel, direction: str):
+    """Jitted per-batch kernel: (params, batch, frows, fents) -> raw/filt ranks."""
+
+    def kernel(params, batch, frows, fents):
+        s, o, p = batch[:, 0], batch[:, 1], batch[:, 2]
+        if direction == "o":
+            scores = model.score_all_o(params, s, p)
+            target = o
+        else:
+            scores = model.score_all_s(params, o, p)
+            target = s
+        b = scores.shape[0]
+        tgt = scores[jnp.arange(b), target]
+        raw = 1 + jnp.sum(scores > tgt[:, None], axis=1)
+        # scatter -inf at all known-true (row, entity) pairs (incl. target,
+        # which no longer competes since the comparison is strict-greater
+        # against the saved target score)
+        filt_scores = scores.at[frows, fents].set(NEG_INF, mode="drop")
+        filt = 1 + jnp.sum(filt_scores > tgt[:, None], axis=1)
+        return raw.astype(jnp.int32), filt.astype(jnp.int32)
+
+    return jax.jit(kernel)
+
+
+def _filter_pairs(batch: np.ndarray, index: dict, direction: str, width: int):
+    """Flat (row, entity) known-true pairs for one batch, padded to `width`.
+
+    Padding rows use row id = batch-size (dropped by the device scatter).
+    """
+    rows, ents = [], []
+    for i, (s, o, p) in enumerate(batch):
+        key = (int(s), int(p)) if direction == "o" else (int(o), int(p))
+        true_ents = index.get(key)
+        if true_ents is not None:
+            rows.extend([i] * len(true_ents))
+            ents.extend(true_ents.tolist())
+    pad = width - len(rows)
+    assert pad >= 0, "filter width underestimated"
+    rows.extend([batch.shape[0]] * pad)
+    ents.extend([0] * pad)
+    return (
+        np.asarray(rows, np.int32),
+        np.asarray(ents, np.int32),
+    )
+
+
+class FilteredRankingEval:
+    """Precomputes filter indices once; evaluates any params snapshot.
+
+    `known` defaults to train ∪ valid ∪ test (the reference's filtered
+    protocol). `batch_size` bounds the (B, n_e) score matrix.
+    """
+
+    def __init__(
+        self,
+        model: KGEModel,
+        test: np.ndarray,
+        known: np.ndarray,
+        batch_size: int = 1024,
+        hits_at: Sequence[int] = (1, 3, 10),
+    ):
+        self.model = model
+        self.hits_at = tuple(hits_at)
+        self.batch_size = int(min(batch_size, max(1, len(test))))
+        self.test = np.asarray(test, np.int32)
+        sp_o, op_s = true_triple_index(np.asarray(known))
+        self._index = {"o": sp_o, "s": op_s}
+        self._kernels = {
+            "o": _rank_kernel(model, "o"),
+            "s": _rank_kernel(model, "s"),
+        }
+
+        # batch layout: pad the last batch by repeating row 0 (masked out)
+        n = len(self.test)
+        bs = self.batch_size
+        self.n_batches = -(-n // bs)
+        padded = self.n_batches * bs
+        idx = np.concatenate([np.arange(n), np.zeros(padded - n, np.int64)])
+        self._batches = self.test[idx].reshape(self.n_batches, bs, 3)
+        self._valid = (np.arange(padded) < n).reshape(self.n_batches, bs)
+
+        # per-direction static filter width = max pairs over batches
+        self._pairs = {}
+        for direction in ("o", "s"):
+            widths = []
+            for b in range(self.n_batches):
+                w = 0
+                for s, o, p in self._batches[b]:
+                    key = (
+                        (int(s), int(p)) if direction == "o" else (int(o), int(p))
+                    )
+                    arr = self._index[direction].get(key)
+                    w += 0 if arr is None else len(arr)
+                widths.append(w)
+            width = max(widths) if widths else 0
+            self._pairs[direction] = [
+                _filter_pairs(self._batches[b], self._index[direction], direction, width)
+                for b in range(self.n_batches)
+            ]
+
+    def __call__(self, params: Params) -> RankingResult:
+        n = len(self.test)
+        ranks = {d: np.zeros(n, np.int64) for d in ("o", "s")}
+        ranks_raw = {d: np.zeros(n, np.int64) for d in ("o", "s")}
+        pos = 0
+        for b in range(self.n_batches):
+            batch = jnp.asarray(self._batches[b])
+            nvalid = int(self._valid[b].sum())
+            for d in ("o", "s"):
+                frows, fents = self._pairs[d][b]
+                raw, filt = self._kernels[d](
+                    params, batch, jnp.asarray(frows), jnp.asarray(fents)
+                )
+                ranks_raw[d][pos : pos + nvalid] = np.asarray(raw)[:nvalid]
+                ranks[d][pos : pos + nvalid] = np.asarray(filt)[:nvalid]
+            pos += nvalid
+        all_filt = np.stack([ranks["o"], ranks["s"]])
+        all_raw = np.stack([ranks_raw["o"], ranks_raw["s"]])
+        mrr, mr, hits = ranking_scores(all_filt, self.hits_at)
+        mrr_r, mr_r, hits_r = ranking_scores(all_raw, self.hits_at)
+        return RankingResult(
+            mrr=mrr,
+            mrr_raw=mrr_r,
+            mean_rank=mr,
+            mean_rank_raw=mr_r,
+            hits=hits,
+            hits_raw=hits_r,
+            ranks=all_filt,
+            ranks_raw=all_raw,
+        )
+
+
+def evaluate(
+    model: KGEModel,
+    params: Params,
+    test: np.ndarray,
+    known: Optional[np.ndarray] = None,
+    batch_size: int = 1024,
+    hits_at: Sequence[int] = (1, 3, 10),
+) -> RankingResult:
+    """One-shot convenience wrapper around FilteredRankingEval."""
+    if known is None:
+        known = test
+    ev = FilteredRankingEval(model, test, known, batch_size, hits_at)
+    return ev(params)

@@ -1,0 +1,248 @@
+"""Experiment harness — the companion `kg/base.py` Experiment equivalent
+(SURVEY.md §2.2): argparse CLI, train/eval/checkpoint loop, filtered ranking
+with periodic validation, best-model retention and early stopping.
+
+Flags mirror the reference harness: --fin, --fout, --test-all N, --me
+(max epochs), --nb (nbatches), --lr, --ncomp, --margin, --sampler, --mode,
+--no-pairwise; plus build-scope additions (--model to select the family from
+one binary, --rparam/--nhidden/--af, --synthetic for offline smoke runs,
+--metrics JSONL, --ckpt full-state checkpoints).
+
+Early stopping [M]: the reference tracks best validation MRR and pickles the
+best model; the exact stop rule is unverifiable (empty reference mount), so
+this harness stops after `--patience` consecutive non-improving validations
+(default 3) and always keeps the best-MRR parameters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import timeit
+from typing import Optional
+
+import numpy as np
+
+from skge_tpu import sampling
+from skge_tpu.data import (
+    Dataset,
+    bernoulli_probs,
+    load_dataset,
+    sorted_train_keys,
+    synthetic_kg,
+    type_index_arrays,
+)
+from skge_tpu.evaluation import FilteredRankingEval
+from skge_tpu.models import MODELS
+from skge_tpu.trainer import TrainConfig, Trainer
+from skge_tpu.utils.checkpoint import save_checkpoint
+
+log = logging.getLogger("skge_tpu.experiment")
+
+
+def build_sampler(name: str, ds: Dataset, ntries: int = 100):
+    import jax.numpy as jnp
+
+    if name == "random-mode":
+        return sampling.RandomModeSampler(ds.n_entities)
+    if name == "lcwa":
+        return sampling.LCWASampler(
+            ds.n_entities,
+            ds.n_relations,
+            jnp.asarray(sorted_train_keys(ds)),
+            ntries=ntries,
+        )
+    if name == "bernoulli":
+        return sampling.BernoulliSampler(
+            ds.n_entities, jnp.asarray(bernoulli_probs(ds.train, ds.n_relations))
+        )
+    if name == "corrupted":
+        arrs = type_index_arrays(ds.train, ds.n_relations)
+        return sampling.CorruptedSampler(
+            ds.n_entities, *(jnp.asarray(a) for a in arrs)
+        )
+    raise ValueError(f"unknown sampler {name!r}")
+
+
+class Experiment:
+    """Train + periodically validate + keep best params + final test eval."""
+
+    def __init__(self, args: argparse.Namespace):
+        self.args = args
+        if args.fin:
+            self.ds = load_dataset(args.fin)
+        else:
+            self.ds = synthetic_kg(
+                n_entities=args.synthetic_entities,
+                n_relations=args.synthetic_relations,
+                n_train=args.synthetic_train,
+                n_valid=max(50, args.synthetic_train // 20),
+                n_test=max(50, args.synthetic_train // 20),
+                seed=args.seed,
+            )
+            log.info("using synthetic KG (no --fin given)")
+        model_cls = MODELS[args.model]
+        kw = {}
+        if args.model in ("hole", "rescal"):
+            kw["rparam"] = args.rparam
+        if args.model == "ermlp":
+            kw["nhidden"] = args.nhidden
+        if args.model == "hole":
+            kw["af"] = args.af
+        if args.model == "transe":
+            kw["l1"] = not args.l2
+        self.model = model_cls(
+            self.ds.n_entities, self.ds.n_relations, args.ncomp,
+            init=args.init, **kw,
+        )
+        cfg = TrainConfig(
+            max_epochs=args.me,
+            nbatches=args.nb,
+            learning_rate=args.lr,
+            margin=args.margin,
+            pairwise=not args.no_pairwise,
+            seed=args.seed,
+            metrics_jsonl=args.metrics,
+        )
+        sampler = build_sampler(args.sampler, self.ds, args.ntries)
+        self.trainer = Trainer(
+            self.model, sampler, cfg, post_epoch=[self._callback]
+        )
+        self.best_mrr = -1.0
+        self.best_params = None
+        self.evals_without_improvement = 0
+        self._valid_ev: Optional[FilteredRankingEval] = None
+
+    def _callback(self, trainer: Trainer) -> bool:
+        log.info(
+            "epoch %d  loss=%.4f  violations=%d  (%.2fs, %.0f triples/s)",
+            trainer.epoch,
+            trainer.loss,
+            trainer.nviolations,
+            trainer.metrics.last().get("epoch_seconds", 0.0),
+            trainer.metrics.last().get("triples_per_second", 0.0),
+        )
+        if (
+            self.args.test_all <= 0
+            or trainer.epoch % self.args.test_all != 0
+            or len(self.ds.valid) == 0
+        ):
+            return True
+        if self._valid_ev is None:
+            self._valid_ev = FilteredRankingEval(
+                self.model,
+                self.ds.valid,
+                self.ds.all_triples(),
+                batch_size=self.args.eval_batch,
+            )
+        res = self._valid_ev(trainer.state.params)
+        log.info(
+            "  VALID epoch %d: MRR=%.4f (raw %.4f) Hits@10=%.3f MR=%.1f",
+            trainer.epoch, res.mrr, res.mrr_raw, res.hits[10], res.mean_rank,
+        )
+        if res.mrr > self.best_mrr:
+            self.best_mrr = res.mrr
+            self.best_params = {
+                k: np.asarray(v) for k, v in trainer.state.params.items()
+            }
+            self.evals_without_improvement = 0
+            if self.args.fout:
+                save_checkpoint(
+                    self.args.fout,
+                    trainer.state,
+                    meta={
+                        "model": self.model.name,
+                        "epoch": trainer.epoch,
+                        "valid_mrr": res.mrr,
+                    },
+                )
+        else:
+            self.evals_without_improvement += 1
+            if self.evals_without_improvement >= self.args.patience:
+                log.info("early stop: no valid-MRR improvement")
+                return False
+        return True
+
+    def run(self) -> dict:
+        t0 = timeit.default_timer()
+        state = self.trainer.fit(self.ds.train)
+        train_time = timeit.default_timer() - t0
+        params = (
+            {k: np.asarray(v) for k, v in state.params.items()}
+            if self.best_params is None
+            else self.best_params
+        )
+        import jax.numpy as jnp
+
+        dev_params = {k: jnp.asarray(v) for k, v in params.items()}
+        result = {"train_seconds": train_time, "epochs": self.trainer.epoch}
+        if len(self.ds.test) > 0 and self.args.mode == "rank":
+            ev = FilteredRankingEval(
+                self.model,
+                self.ds.test,
+                self.ds.all_triples(),
+                batch_size=self.args.eval_batch,
+            )
+            res = ev(dev_params)
+            result.update(res.summary())
+            log.info(
+                "TEST: MRR=%.4f (raw %.4f)  Hits@1/3/10=%.3f/%.3f/%.3f  MR=%.1f",
+                res.mrr, res.mrr_raw,
+                res.hits[1], res.hits[3], res.hits[10], res.mean_rank,
+            )
+        return result
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native KGE training/evaluation (scikit-kge capabilities)"
+    )
+    p.add_argument("--fin", default=None, help="dataset pickle (reference format)")
+    p.add_argument("--fout", default=None, help="best-model checkpoint path")
+    p.add_argument("--model", default="hole", choices=sorted(MODELS))
+    p.add_argument("--test-all", dest="test_all", type=int, default=10,
+                   help="validate every N epochs (reference --test-all)")
+    p.add_argument("--me", type=int, default=500, help="max epochs")
+    p.add_argument("--nb", type=int, default=100, help="number of batches")
+    p.add_argument("--lr", type=float, default=0.1, help="learning rate")
+    p.add_argument("--ncomp", type=int, default=150, help="embedding dim")
+    p.add_argument("--margin", type=float, default=0.2, help="pairwise margin")
+    p.add_argument("--sampler", default="random-mode",
+                   choices=["random-mode", "lcwa", "corrupted", "bernoulli"])
+    p.add_argument("--mode", default="rank", choices=["rank", "none"])
+    p.add_argument("--no-pairwise", action="store_true",
+                   help="use pointwise logistic loss")
+    p.add_argument("--rparam", type=float, default=0.0)
+    p.add_argument("--nhidden", type=int, default=10)
+    p.add_argument("--af", default="sigmoid")
+    p.add_argument("--init", default="nunif", choices=["nunif", "normal"])
+    p.add_argument("--l2", action="store_true", help="TransE: squared-L2 distance")
+    p.add_argument("--ntries", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--patience", type=int, default=3)
+    p.add_argument("--eval-batch", dest="eval_batch", type=int, default=1024)
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--synthetic-entities", type=int, default=500)
+    p.add_argument("--synthetic-relations", type=int, default=10)
+    p.add_argument("--synthetic-train", type=int, default=5000)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+    args = make_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    result = Experiment(args).run()
+    print(result)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

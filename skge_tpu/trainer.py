@@ -1,0 +1,163 @@
+"""High-level trainers — the StochasticTrainer / PairwiseStochasticTrainer
+equivalents (skge/base.py ~100-265), built on the functional core.
+
+Defaults mirror the reference's module constants (SURVEY.md §5 config):
+_DEF_MAX_EPOCHS=500, _DEF_NBATCHES=100, _DEF_LEARNING_RATE=0.1,
+_DEF_MARGIN=1.0 [M]. Epochs run as ONE jitted `lax.scan` over minibatches;
+`post_epoch` callbacks receive the trainer and a falsy return triggers early
+stop, exactly like the reference. Checkpointing (params + optimizer state +
+RNG + step — more than the reference saves) is built in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skge_tpu.models.base import KGEModel
+from skge_tpu.optim import OPTIMIZERS, Optimizer
+from skge_tpu.training import (
+    StepMetrics,
+    TrainState,
+    init_state,
+    make_epoch_fn,
+    make_pairwise_step,
+    make_pointwise_step,
+)
+from skge_tpu.utils.checkpoint import save_checkpoint
+from skge_tpu.utils.metrics import MetricsLogger, StepTimer
+
+# reference module defaults (skge/base.py, [M] exact values)
+DEF_MAX_EPOCHS = 500
+DEF_NBATCHES = 100
+DEF_LEARNING_RATE = 0.1
+DEF_MARGIN = 1.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    max_epochs: int = DEF_MAX_EPOCHS
+    nbatches: int = DEF_NBATCHES
+    learning_rate: float = DEF_LEARNING_RATE
+    margin: float = DEF_MARGIN
+    pairwise: bool = True
+    optimizer: str = "adagrad"
+    aggregate: str = "unique"
+    seed: int = 0
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 0  # epochs; 0 = only on completion if path set
+    metrics_jsonl: Optional[str] = None
+
+    def to_meta(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class Trainer:
+    """Drives epochs of the jitted scan; owns state, metrics, callbacks.
+
+    `sampler` is a pure on-device sampler from `skge_tpu.sampling`.
+    `post_epoch` callbacks: `f(trainer) -> truthy to continue` (reference
+    early-stop contract, skge/base.py ~150).
+    """
+
+    def __init__(
+        self,
+        model: KGEModel,
+        sampler: Callable,
+        config: TrainConfig = TrainConfig(),
+        post_epoch: Sequence[Callable] = (),
+        optimizer: Optional[Optimizer] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.sampler = sampler
+        self.post_epoch = list(post_epoch)
+        self.opt = optimizer or OPTIMIZERS[config.optimizer](
+            lr=config.learning_rate
+        )
+        self.metrics = MetricsLogger(config.metrics_jsonl)
+        self.state: Optional[TrainState] = None
+        # per-epoch scalars for callbacks (reference attribute contract)
+        self.epoch = 0
+        self.loss = float("nan")
+        self.nviolations = 0
+        self._epoch_fn = None
+
+    # -- construction of the jitted epoch --
+    def _build(self, n_triples: int):
+        cfg = self.config
+        if cfg.pairwise:
+            step = make_pairwise_step(
+                self.model, self.opt, self.sampler, cfg.margin, cfg.aggregate
+            )
+        else:
+            step = make_pointwise_step(
+                self.model, self.opt, self.sampler, cfg.aggregate
+            )
+        nb = min(cfg.nbatches, n_triples)
+        self._epoch_fn = jax.jit(make_epoch_fn(step, n_triples, nb))
+
+    def fit(
+        self,
+        xs: np.ndarray,
+        state: Optional[TrainState] = None,
+        start_epoch: int = 0,
+    ) -> TrainState:
+        """Train on (N, 3) int triples. Resumable via (state, start_epoch)."""
+        xs = np.asarray(xs, np.int32).reshape(-1, 3)
+        self._build(xs.shape[0])
+        if state is None:
+            state = init_state(
+                self.model, self.opt, jax.random.PRNGKey(self.config.seed)
+            )
+        self.state = state
+        xs_dev = jnp.asarray(xs)
+        timer = StepTimer()
+        cfg = self.config
+        for epoch in range(start_epoch, cfg.max_epochs):
+            self.epoch = epoch + 1
+            self.state, m = self._epoch_fn(self.state, xs_dev)
+            self.loss = float(jnp.sum(m.loss))
+            self.nviolations = int(jnp.sum(m.nviolations))
+            dt = timer.reset()
+            self.metrics.log(
+                {
+                    "epoch": self.epoch,
+                    "loss": self.loss,
+                    "nviolations": self.nviolations,
+                    "epoch_seconds": dt,
+                    "triples_per_second": xs.shape[0] / max(dt, 1e-9),
+                }
+            )
+            if (
+                cfg.checkpoint_path
+                and cfg.checkpoint_every
+                and self.epoch % cfg.checkpoint_every == 0
+            ):
+                self.save(cfg.checkpoint_path)
+            stop = False
+            for f in self.post_epoch:
+                if not f(self):
+                    stop = True
+            if stop:
+                break
+        if cfg.checkpoint_path:
+            self.save(cfg.checkpoint_path)
+        return self.state
+
+    def save(self, path: str) -> None:
+        assert self.state is not None, "nothing to save before fit()"
+        save_checkpoint(
+            path,
+            self.state,
+            meta={
+                "model": self.model.name,
+                "epoch": self.epoch,
+                "config": self.config.to_meta(),
+            },
+        )

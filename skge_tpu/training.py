@@ -203,6 +203,49 @@ class StepMetrics(NamedTuple):
     nviolations: jnp.ndarray
 
 
+def make_pairwise_update(
+    model: KGEModel, opt: Optimizer, margin: float, aggregate: str = "unique"
+):
+    """Pre-sampled pairwise update: (state, pos_rep, neg, pair_mask) -> ...
+
+    Used directly by the compat layer when negatives come from an arbitrary
+    host `samplef` callable (reference API), and wrapped by
+    `make_pairwise_step` for fully on-device sampling.
+    """
+
+    def update(state: TrainState, pos_rep, neg, pair_mask):
+        loss, nviol, occ, g_dense = pairwise_grads(
+            model, state.params, pos_rep, neg, pair_mask, margin
+        )
+        params, opt_state = apply_gradients(
+            model, opt, state.params, state.opt_state, occ, g_dense, aggregate
+        )
+        new_state = TrainState(params, opt_state, state.key, state.step + 1)
+        return new_state, StepMetrics(loss=loss, nviolations=nviol)
+
+    return update
+
+
+def make_pointwise_update(
+    model: KGEModel, opt: Optimizer, aggregate: str = "unique"
+):
+    """Pre-sampled pointwise update: (state, triples, ys, mask) -> ..."""
+
+    def update(state: TrainState, triples, ys, mask):
+        loss, occ, g_dense = pointwise_grads(
+            model, state.params, triples, ys, mask
+        )
+        params, opt_state = apply_gradients(
+            model, opt, state.params, state.opt_state, occ, g_dense, aggregate
+        )
+        new_state = TrainState(params, opt_state, state.key, state.step + 1)
+        return new_state, StepMetrics(
+            loss=loss, nviolations=jnp.zeros((), loss.dtype)
+        )
+
+    return update
+
+
 def make_pairwise_step(
     model: KGEModel,
     opt: Optimizer,
@@ -211,18 +254,13 @@ def make_pairwise_step(
     aggregate: str = "unique",
 ):
     """One pairwise SGD step: sample negatives, rank, update on violations."""
+    update = make_pairwise_update(model, opt, margin, aggregate)
 
     def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
         key, sk = jax.random.split(state.key)
         pos_rep, neg, pair_mask = sampler(sk, batch, mask)
-        loss, nviol, occ, g_dense = pairwise_grads(
-            model, state.params, pos_rep, neg, pair_mask, margin
-        )
-        params, opt_state = apply_gradients(
-            model, opt, state.params, state.opt_state, occ, g_dense, aggregate
-        )
-        new_state = TrainState(params, opt_state, key, state.step + 1)
-        return new_state, StepMetrics(loss=loss, nviolations=nviol)
+        state = state._replace(key=key)
+        return update(state, pos_rep, neg, pair_mask)
 
     return step
 
@@ -234,25 +272,18 @@ def make_pointwise_step(
     aggregate: str = "unique",
 ):
     """One pointwise step: append sampled negatives (y=-1), logistic loss."""
+    update = make_pointwise_update(model, opt, aggregate)
 
     def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
         key, sk = jax.random.split(state.key)
         pos_rep, neg, pair_mask = sampler(sk, batch, mask)
+        state = state._replace(key=key)
         triples = jnp.concatenate([batch, neg], axis=0)
         ys = jnp.concatenate(
             [jnp.ones(batch.shape[0]), -jnp.ones(neg.shape[0])]
         ).astype(model.jdtype)
         m = jnp.concatenate([mask, pair_mask])
-        loss, occ, g_dense = pointwise_grads(
-            model, state.params, triples, ys, m
-        )
-        params, opt_state = apply_gradients(
-            model, opt, state.params, state.opt_state, occ, g_dense, aggregate
-        )
-        new_state = TrainState(params, opt_state, key, state.step + 1)
-        return new_state, StepMetrics(
-            loss=loss, nviolations=jnp.zeros((), loss.dtype)
-        )
+        return update(state, triples, ys, m)
 
     return step
 
@@ -278,7 +309,7 @@ def make_epoch_fn(step_fn: Callable, n_triples: int, nbatches: int):
         mask_flat = (
             jnp.arange(padded) < n_triples
         ).astype(jnp.float32)
-        batches = xs[pad_idx].reshape(nbatches, batch_size, 3)
+        batches = xs[pad_idx].reshape(nbatches, batch_size, xs.shape[1])
         masks = mask_flat.reshape(nbatches, batch_size)
 
         def body(st, bm):

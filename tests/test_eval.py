@@ -1,0 +1,107 @@
+"""Evaluation tests: all-entity scoring parity and filtered ranking."""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from skge_tpu.models import ERMLP, HolE, RESCAL, TransE  # noqa: E402
+from skge_tpu.evaluation import FilteredRankingEval, ranking_scores  # noqa: E402
+from skge_tpu.data import synthetic_kg, true_triple_index  # noqa: E402
+
+N_E, N_R, D = 31, 4, 16
+
+
+def build(model_cls, **kw):
+    model = model_cls(N_E, N_R, D, dtype="float64", **kw)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+MODELS = [
+    (TransE, {"l1": True}),
+    (TransE, {"l1": False}),
+    (RESCAL, {}),
+    (HolE, {}),
+    (ERMLP, {"nhidden": 6}),
+]
+
+
+@pytest.mark.parametrize("model_cls,kw", MODELS)
+def test_score_all_matches_per_triple(model_cls, kw):
+    """score_all_o / score_all_s columns must equal per-triple scores."""
+    model, params = build(model_cls, **kw)
+    rng = np.random.default_rng(0)
+    b = 7
+    s = rng.integers(0, N_E, b)
+    o = rng.integers(0, N_E, b)
+    p = rng.integers(0, N_R, b)
+
+    all_o = np.asarray(model.score_all_o(params, jnp.asarray(s), jnp.asarray(p)))
+    all_s = np.asarray(model.score_all_s(params, jnp.asarray(o), jnp.asarray(p)))
+    assert all_o.shape == (b, N_E)
+
+    for e in [0, 5, N_E - 1]:
+        want_o = np.asarray(
+            model.score(params, jnp.asarray(s), jnp.full(b, e), jnp.asarray(p))
+        )
+        np.testing.assert_allclose(all_o[:, e], want_o, rtol=1e-9, atol=1e-9)
+        want_s = np.asarray(
+            model.score(params, jnp.full(b, e), jnp.asarray(o), jnp.asarray(p))
+        )
+        np.testing.assert_allclose(all_s[:, e], want_s, rtol=1e-9, atol=1e-9)
+
+
+def _brute_force_ranks(model, params, test, known):
+    """NumPy reference for filtered/raw ranks (optimistic tie-breaking)."""
+    sp_o, op_s = true_triple_index(known)
+    raw = np.zeros((2, len(test)), np.int64)
+    filt = np.zeros((2, len(test)), np.int64)
+    for i, (s, o, p) in enumerate(test):
+        so = np.asarray(
+            model.score_all_o(params, jnp.asarray([s]), jnp.asarray([p]))
+        )[0]
+        raw[0, i] = 1 + np.sum(so > so[o])
+        m = so.copy()
+        m[sp_o.get((int(s), int(p)), np.array([], np.int32))] = -np.inf
+        filt[0, i] = 1 + np.sum(m > so[o])
+
+        ss = np.asarray(
+            model.score_all_s(params, jnp.asarray([o]), jnp.asarray([p]))
+        )[0]
+        raw[1, i] = 1 + np.sum(ss > ss[s])
+        m = ss.copy()
+        m[op_s.get((int(o), int(p)), np.array([], np.int32))] = -np.inf
+        filt[1, i] = 1 + np.sum(m > ss[s])
+    return raw, filt
+
+
+@pytest.mark.parametrize("model_cls,kw", [(TransE, {}), (HolE, {})])
+def test_filtered_ranking_matches_brute_force(model_cls, kw):
+    model, params = build(model_cls, **kw)
+    ds = synthetic_kg(N_E, N_R, n_train=120, n_valid=20, n_test=25, seed=3)
+    known = ds.all_triples()
+    ev = FilteredRankingEval(model, ds.test, known, batch_size=8)
+    res = ev(params)
+    want_raw, want_filt = _brute_force_ranks(model, params, ds.test, known)
+    np.testing.assert_array_equal(res.ranks_raw, want_raw)
+    np.testing.assert_array_equal(res.ranks, want_filt)
+    # metric formulas
+    mrr, mr, hits = ranking_scores(want_filt)
+    assert res.mrr == pytest.approx(mrr)
+    assert res.mean_rank == pytest.approx(mr)
+    assert res.hits[10] == pytest.approx(hits[10])
+
+
+def test_filtered_beats_raw():
+    """Filtering can only improve (reduce) ranks."""
+    model, params = build(HolE)
+    ds = synthetic_kg(N_E, N_R, n_train=150, n_test=30, seed=4)
+    ev = FilteredRankingEval(model, ds.test, ds.all_triples(), batch_size=16)
+    res = ev(params)
+    assert np.all(res.ranks <= res.ranks_raw)
+    assert res.mrr >= res.mrr_raw

@@ -1,0 +1,140 @@
+"""Integration tests: samplers, epoch scan, end-to-end mini-KG training."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skge_tpu import (
+    AdaGrad,
+    BernoulliSampler,
+    CorruptedSampler,
+    HolE,
+    LCWASampler,
+    RandomModeSampler,
+    TransE,
+    init_state,
+    make_epoch_fn,
+    make_pairwise_step,
+    make_pointwise_step,
+)
+from skge_tpu.data import (
+    bernoulli_probs,
+    sorted_train_keys,
+    synthetic_kg,
+    type_index_arrays,
+)
+from skge_tpu.evaluation import FilteredRankingEval
+from skge_tpu.sampling import encode_keys
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_kg(n_entities=120, n_relations=6, n_train=1200, n_test=40, seed=7)
+
+
+def test_random_mode_sampler_shapes(ds):
+    s = RandomModeSampler(ds.n_entities)
+    pos = jnp.asarray(ds.train[:50])
+    rep, neg, m = s(jax.random.PRNGKey(0), pos, jnp.ones(50))
+    assert rep.shape == neg.shape == (100, 3)
+    assert m.shape == (100,)
+    # exactly one position corrupted per negative (or the rare same-id draw)
+    diff = np.asarray(rep != neg)
+    assert np.all(diff[:, 2] == 0)  # relation untouched
+    assert np.all(diff.sum(axis=1) <= 1)
+    # first half corrupts subject, second half corrupts object
+    assert np.all(diff[:50, 1] == 0)
+    assert np.all(diff[50:, 0] == 0)
+
+
+def test_lcwa_sampler_avoids_train_set(ds):
+    keys = jnp.asarray(sorted_train_keys(ds))
+    s = LCWASampler(ds.n_entities, ds.n_relations, keys, ntries=100)
+    pos = jnp.asarray(ds.train[:200])
+    _, neg, valid = s(jax.random.PRNGKey(1), pos, jnp.ones(200))
+    nk = np.asarray(encode_keys(neg, ds.n_entities, ds.n_relations))
+    member = np.isin(nk, np.asarray(keys))
+    v = np.asarray(valid) > 0
+    assert not member[v].any(), "valid LCWA negatives must not be train triples"
+    assert v.mean() > 0.95  # rejection rarely exhausts 100 tries here
+
+
+def test_bernoulli_sampler_mode_probabilities(ds):
+    probs = bernoulli_probs(ds.train, ds.n_relations)
+    s = BernoulliSampler(ds.n_entities, jnp.asarray(probs))
+    pos = jnp.asarray(np.tile(ds.train[:1], (4000, 1)))
+    _, neg, _ = s(jax.random.PRNGKey(2), pos, jnp.ones(4000))
+    subj_corrupted = np.asarray(neg[:, 0] != pos[:, 0])
+    p_rel = probs[int(ds.train[0, 2])]
+    # allow for same-entity draws and binomial noise
+    assert abs(subj_corrupted.mean() - p_rel) < 0.05
+
+
+def test_corrupted_sampler_type_compatible(ds):
+    arrs = type_index_arrays(ds.train, ds.n_relations)
+    s = CorruptedSampler(ds.n_entities, *(jnp.asarray(a) for a in arrs))
+    pos = jnp.asarray(ds.train[:100])
+    _, neg, _ = s(jax.random.PRNGKey(3), pos, jnp.ones(100))
+    neg = np.asarray(neg)
+    sub_flat, sub_off, sub_cnt, obj_flat, obj_off, obj_cnt = (
+        np.asarray(a) for a in arrs
+    )
+    for i in range(100):  # first half: subject corrupted
+        p = neg[i, 2]
+        cands = sub_flat[sub_off[p] : sub_off[p] + sub_cnt[p]]
+        assert neg[i, 0] in cands
+    for i in range(100, 200):
+        p = neg[i, 2]
+        cands = obj_flat[obj_off[p] : obj_off[p] + obj_cnt[p]]
+        assert neg[i, 1] in cands
+
+
+def test_transe_pairwise_training_converges_and_ranks(ds):
+    model = TransE(ds.n_entities, ds.n_relations, ncomp=32)
+    opt = AdaGrad(lr=0.1)
+    step = make_pairwise_step(model, opt, RandomModeSampler(ds.n_entities), margin=0.5)
+    epoch = jax.jit(make_epoch_fn(step, ds.train.shape[0], nbatches=12))
+    state = init_state(model, opt, jax.random.PRNGKey(0))
+    xs = jnp.asarray(ds.train)
+    first = last = None
+    for e in range(40):
+        state, m = epoch(state, xs)
+        v = int(jnp.sum(m.nviolations))
+        first = v if first is None else first
+        last = v
+    assert last < 0.5 * first, f"violations {first} -> {last}"
+    # memorization check: filtered ranking of TRAIN triples should be good
+    ev = FilteredRankingEval(model, ds.train[:100], ds.train, batch_size=50)
+    res = ev(state.params)
+    assert res.mrr > 0.35, res.summary()
+    assert res.hits[10] > 0.6, res.summary()
+
+
+def test_hole_pointwise_training_loss_decreases(ds):
+    model = HolE(ds.n_entities, ds.n_relations, ncomp=24)
+    opt = AdaGrad(lr=0.1)
+    keys = jnp.asarray(sorted_train_keys(ds))
+    sampler = LCWASampler(ds.n_entities, ds.n_relations, keys)
+    step = make_pointwise_step(model, opt, sampler)
+    epoch = jax.jit(make_epoch_fn(step, ds.train.shape[0], nbatches=10))
+    state = init_state(model, opt, jax.random.PRNGKey(1))
+    xs = jnp.asarray(ds.train)
+    losses = []
+    for e in range(20):
+        state, m = epoch(state, xs)
+        losses.append(float(jnp.sum(m.loss)))
+    assert losses[-1] < 0.7 * losses[0], losses[::5]
+
+
+def test_epoch_padding_when_nbatches_does_not_divide(ds):
+    """1200 triples, 7 batches -> padding path must still work."""
+    model = TransE(ds.n_entities, ds.n_relations, ncomp=8)
+    opt = AdaGrad(lr=0.1)
+    step = make_pairwise_step(model, opt, RandomModeSampler(ds.n_entities), margin=0.2)
+    epoch = jax.jit(make_epoch_fn(step, ds.train.shape[0], nbatches=7))
+    state = init_state(model, opt, jax.random.PRNGKey(2))
+    state, m = epoch(state, jnp.asarray(ds.train))
+    assert m.nviolations.shape == (7,)
+    assert int(state.step) == 7
