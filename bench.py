@@ -1,0 +1,108 @@
+"""Benchmark: TransE pairwise training throughput on FB15k-shaped data.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "triples/s", "vs_baseline": N}
+
+`value` counts REFERENCE-EQUIVALENT scored triples per second in the full
+training step (gather -> score -> margin ranking -> duplicate-averaged
+gradients -> sparse AdaGrad + normless1 -> on-device uniform corruption
+sampling): the reference scores 2 pairs per training triple (subject + object
+corruption), 2 scores per pair => 4 * n_train per epoch. The fused step
+performs that same training work while evaluating the shared positive score
+once (3 * n_train actual score evaluations); throughput is reported in the
+reference's work units so numbers stay comparable. `vs_baseline` is
+value / 50e6, the BASELINE.md north-star target (the reference publishes no
+throughput numbers — SURVEY.md §6).
+
+Run on the real TPU chip (default backend); `--cpu` for a smoke run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--model", default="transe", choices=["transe", "hole", "rescal", "ermlp"])
+    ap.add_argument("--ncomp", type=int, default=150)
+    ap.add_argument("--nbatches", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=3, help="timed epochs")
+    ap.add_argument("--entities", type=int, default=14951)  # FB15k
+    ap.add_argument("--relations", type=int, default=1345)
+    ap.add_argument("--ntrain", type=int, default=483142)
+    ap.add_argument(
+        "--aggregate", default="dense", choices=["unique", "dense"],
+        help="gradient aggregation path (table scatter is fastest on TPU)",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from skge_tpu import (
+        AdaGrad,
+        MODELS,
+        RandomModeSampler,
+        init_state,
+        make_epoch_fn,
+        make_pairwise_step,
+    )
+    from skge_tpu.data import synthetic_kg
+
+    ds = synthetic_kg(
+        n_entities=args.entities,
+        n_relations=args.relations,
+        n_train=args.ntrain,
+        seed=0,
+        clustered=False,
+    )
+    model = MODELS[args.model](ds.n_entities, ds.n_relations, args.ncomp)
+    opt = AdaGrad(lr=0.1)
+    sampler = RandomModeSampler(ds.n_entities)
+    step = make_pairwise_step(
+        model, opt, sampler, margin=1.0, aggregate=args.aggregate
+    )
+    epoch = jax.jit(
+        make_epoch_fn(step, ds.train.shape[0], args.nbatches),
+        donate_argnums=(0,),
+    )
+
+    state = init_state(model, opt, jax.random.PRNGKey(0))
+    xs = jnp.asarray(ds.train)
+
+    import numpy as np
+
+    # warmup / compile. NOTE: block_until_ready is a no-op on the remote
+    # axon platform — a host transfer (device_get) is the only real sync.
+    state, m = epoch(state, xs)
+    np.asarray(m.loss)
+
+    t0 = time.perf_counter()
+    for _ in range(args.epochs):
+        state, m = epoch(state, xs)
+    np.asarray(m.loss)
+    dt = time.perf_counter() - t0
+
+    scored_per_epoch = 4 * ds.train.shape[0]  # 2 pairs/triple, pos+neg each
+    value = scored_per_epoch * args.epochs / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.model}_fb15k_scored_triples_per_s_per_chip",
+                "value": round(value, 1),
+                "unit": "triples/s",
+                "vs_baseline": round(value / 50e6, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

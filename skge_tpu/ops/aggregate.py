@@ -64,14 +64,19 @@ def segment_mean_unique(
     grads: jnp.ndarray,
     mask: jnp.ndarray,
     num_rows: int,
+    premasked: bool = False,
 ) -> UniqueGrads:
     """Average per-occurrence `grads` over duplicate `indices`.
 
     indices: (T,) int row ids (concatenated over all roles/slots).
     grads:   (T, ...) per-occurrence gradients.
-    mask:    (T,) float {0,1}; masked occurrences contribute neither gradient
+    mask:    (T,) float; masked-out occurrences contribute neither gradient
              nor count (reference filters violating pairs BEFORE building the
              index list — skge/hole.py ~70).
+    premasked: when True, `grads` are already mask-weighted SUMS over several
+             structural occurrences and `mask` holds the (possibly >1)
+             occurrence COUNTS — the fused fast path (see
+             training.pairwise_grads_fused).
     """
     t = indices.shape[0]
     uidx, inv = jnp.unique(
@@ -79,11 +84,8 @@ def segment_mean_unique(
     )
     inv = inv.reshape(-1)
     count = jax.ops.segment_sum(mask, inv, num_segments=t)
-    gsum = jax.ops.segment_sum(
-        grads * _bmask(mask, grads.ndim).astype(grads.dtype),
-        inv,
-        num_segments=t,
-    )
+    g = grads if premasked else grads * _bmask(mask, grads.ndim).astype(grads.dtype)
+    gsum = jax.ops.segment_sum(g, inv, num_segments=t)
     gavg = gsum / _bmask(jnp.maximum(count, 1.0), gsum.ndim)
     return UniqueGrads(uidx=uidx, grads=gavg, count=count)
 
@@ -93,15 +95,23 @@ def segment_mean_dense(
     grads: jnp.ndarray,
     mask: jnp.ndarray,
     num_rows: int,
+    premasked: bool = False,
 ) -> DenseGrads:
-    """Same semantics as `segment_mean_unique` but into full-table arrays."""
-    m = _bmask(mask, grads.ndim).astype(grads.dtype)
-    table_shape = (num_rows,) + grads.shape[1:]
-    gsum = jnp.zeros(table_shape, grads.dtype).at[indices].add(
-        grads * m, mode="drop"
+    """Same semantics as `segment_mean_unique` but into full-table arrays.
+
+    Gradients and occurrence counts are scattered in ONE fused scatter-add
+    (counts ride as an extra trailing channel) — scatters dominate the train
+    step on TPU, so halving their number matters.
+    """
+    g = grads if premasked else grads * _bmask(mask, grads.ndim).astype(grads.dtype)
+    t = indices.shape[0]
+    feat_shape = grads.shape[1:]
+    flat = g.reshape(t, -1)
+    aug = jnp.concatenate([flat, mask.astype(g.dtype)[:, None]], axis=1)
+    table = jnp.zeros((num_rows, aug.shape[1]), g.dtype).at[indices].add(
+        aug, mode="drop"
     )
-    count = jnp.zeros((num_rows,), mask.dtype).at[indices].add(
-        mask, mode="drop"
-    )
+    count = table[:, -1]
+    gsum = table[:, :-1].reshape((num_rows,) + feat_shape)
     gavg = gsum / _bmask(jnp.maximum(count, 1.0), gsum.ndim)
     return DenseGrads(grads=gavg, count=count)

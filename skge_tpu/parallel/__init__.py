@@ -1,0 +1,31 @@
+"""Multi-chip SPMD: mesh construction, shardings, distributed train steps."""
+
+from skge_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    mask_sharding,
+    param_specs,
+    shard_state,
+    state_shardings,
+)
+from skge_tpu.parallel.sharded import (
+    make_sharded_pairwise_step,
+    make_sharded_pointwise_step,
+    make_sharded_score_all_o,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "param_specs",
+    "shard_state",
+    "state_shardings",
+    "batch_sharding",
+    "mask_sharding",
+    "make_sharded_pairwise_step",
+    "make_sharded_pointwise_step",
+    "make_sharded_score_all_o",
+]

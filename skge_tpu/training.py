@@ -33,7 +33,11 @@ import jax
 import jax.numpy as jnp
 
 from skge_tpu.models.base import ACTIVATIONS, KGEModel, Params
-from skge_tpu.ops.aggregate import segment_mean_dense, segment_mean_unique
+from skge_tpu.ops.aggregate import (
+    DenseGrads,
+    segment_mean_dense,
+    segment_mean_unique,
+)
 from skge_tpu.optim import Optimizer, OptState
 
 Arrays = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
@@ -151,6 +155,103 @@ def pairwise_grads(
     return loss, nviol, occ, g_dense
 
 
+def pairwise_grads_fused(
+    model: KGEModel,
+    params: Params,
+    pos: jnp.ndarray,       # (B, 3) positives, NOT repeated
+    corruptions,            # [(mode, replacement (B,), valid (B,)), ...]
+    mask: jnp.ndarray,      # (B,) batch validity
+    margin: float,
+):
+    """Structurally-fused pairwise gradients — exact reference semantics,
+    a fraction of the memory traffic.
+
+    Every sampler here corrupts exactly ONE role per negative, so a
+    (positive, corruption) pair shares the positive's gathered rows and its
+    score. This path therefore gathers each base row ONCE, scores the
+    positive ONCE, and pre-combines the per-pair gradients that provably hit
+    the same row (e.g. with modes (0,1): subject s receives contributions as
+    the positive's subject in BOTH pairs plus as the mode-1 negative's
+    subject). The reference's duplicate-index AVERAGING is preserved by
+    carrying the structural occurrence COUNTS alongside the pre-summed
+    gradients into the `premasked` segment aggregation:
+
+        cnt(s)   = sum_c m_c + sum_{c: mode_c != 0} m_c
+        cnt(o)   = sum_c m_c + sum_{c: mode_c != 1} m_c
+        cnt(rel) = 2 * sum_c m_c
+        cnt(corrupted entity of c) = m_c
+
+    where m_c is pair c's violation mask. Scatter sizes drop 2x for entity
+    tables and 2|modes|x for relation tables versus the generic path
+    (scatters dominate TPU step time). Verified exactly against the oracle
+    in tests/test_fused.py.
+    """
+    s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
+    rows = model.gather_rows(params, s, o, p)
+    dense = model.dense_params(params)
+    af = ACTIVATIONS[model.pairwise_af][0]
+    slot_by_role = {role: (slot, pname) for slot, pname, role in model.slot_spec()}
+    role_of_mode = {0: "s", 1: "o"}
+
+    crows = []
+    for mode, repl, _ in corruptions:
+        _, pname = slot_by_role[role_of_mode[mode]]
+        crows.append(params[pname][repl])
+
+    def loss_fn(rows, crows, dense):
+        gp = af(model.score_from_rows(rows, dense))
+        loss = 0.0
+        fms = []
+        for (mode, _, valid), crow in zip(corruptions, crows):
+            slot, _ = slot_by_role[role_of_mode[mode]]
+            rows_n = dict(rows)
+            rows_n[slot] = crow
+            gn = af(model.score_from_rows(rows_n, dense))
+            viol = jnp.logical_and(gn + margin > gp, valid > 0)
+            viol = jnp.logical_and(viol, mask > 0)
+            fm = jax.lax.stop_gradient(viol.astype(gp.dtype))
+            fms.append(fm)
+            loss = loss + jnp.sum(fm * (margin + gn - gp))
+        return loss, fms
+
+    (loss, fms), (g_rows, g_crows, g_dense) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(rows, crows, dense)
+
+    m_sum = sum(fms)
+    nviol = jnp.sum(m_sum)
+
+    # occurrence lists with structural counts (premasked grads)
+    occ: dict = {}
+    role_idx = {"s": s, "o": o, "p": p}
+    for slot, pname, role in model.slot_spec():
+        idxs, grads, counts = occ.setdefault(pname, ([], [], []))
+        if role == "p":
+            cnt = 2.0 * m_sum
+        else:
+            mode_of_role = 0 if role == "s" else 1
+            cnt = m_sum + sum(
+                fm
+                for (mode, _, _), fm in zip(corruptions, fms)
+                if mode != mode_of_role
+            )
+        idxs.append(role_idx[role])
+        grads.append(g_rows[slot])
+        counts.append(cnt)
+    for (mode, repl, _), gc, fm in zip(corruptions, g_crows, fms):
+        _, pname = slot_by_role[role_of_mode[mode]]
+        idxs, grads, counts = occ[pname]
+        idxs.append(repl)
+        grads.append(gc)
+        counts.append(fm)
+    occ = {
+        k: (jnp.concatenate(i), jnp.concatenate(g), jnp.concatenate(c))
+        for k, (i, g, c) in occ.items()
+    }
+    g_dense = {k: v / jnp.maximum(nviol, 1.0) for k, v in g_dense.items()}
+    return loss, nviol, occ, g_dense
+
+
 # ---------------------------------------------------------------------------
 # Updates
 # ---------------------------------------------------------------------------
@@ -160,33 +261,70 @@ def apply_gradients(
     opt: Optimizer,
     params: Params,
     opt_state: OptState,
-    occ,                      # {pname: (indices, grads, mask)}
+    occ,                      # {pname: (indices, grads, mask_or_counts)}
     g_dense: Params,
     aggregate: str = "unique",  # 'unique' (batch-local) | 'dense' (SPMD)
+    premasked: bool = False,    # occ grads pre-weighted, mask = counts
 ) -> Tuple[Params, OptState]:
     params = dict(params)
     opt_state = dict(opt_state)
     reg = model.regularization
-    for pname, (idx, g, m) in occ.items():
-        n_rows = model.num_rows(pname)
-        post = model.post_constraints.get(pname)
-        regularized = reg != 0.0 and pname in model.reg_row_params
-        if aggregate == "unique":
-            ug = segment_mean_unique(idx, g, m, n_rows)
-            if regularized:
+
+    def apply_dense_grads(pname, dg: DenseGrads):
+        if reg != 0.0 and pname in model.reg_row_params:
+            dg = dg._replace(grads=dg.grads + reg * params[pname])
+        params[pname], opt_state[pname] = opt.apply_dense_masked(
+            params[pname], opt_state[pname], dg,
+            model.post_constraints.get(pname),
+        )
+
+    if aggregate == "unique":
+        for pname, (idx, g, m) in occ.items():
+            n_rows = model.num_rows(pname)
+            ug = segment_mean_unique(idx, g, m, n_rows, premasked)
+            if reg != 0.0 and pname in model.reg_row_params:
                 ug = ug._replace(grads=ug.grads + reg * params[pname][ug.uidx])
             params[pname], opt_state[pname] = opt.apply_unique(
-                params[pname], opt_state[pname], ug, post
+                params[pname], opt_state[pname], ug,
+                model.post_constraints.get(pname),
             )
-        elif aggregate == "dense":
-            dg = segment_mean_dense(idx, g, m, n_rows)
-            if regularized:
-                dg = dg._replace(grads=dg.grads + reg * params[pname])
-            params[pname], opt_state[pname] = opt.apply_dense_masked(
-                params[pname], opt_state[pname], dg, post
+    elif aggregate == "dense":
+        # XLA scatter carries a large FIXED cost per op on TPU, so row
+        # params with identical feature shape (e.g. TransE/HolE's E and R)
+        # share ONE fused scatter into a stacked virtual table, split after.
+        groups: dict = {}
+        for pname in occ:
+            groups.setdefault(occ[pname][1].shape[1:], []).append(pname)
+        for feat_shape, names in groups.items():
+            if len(names) == 1:
+                pname = names[0]
+                idx, g, m = occ[pname]
+                apply_dense_grads(
+                    pname,
+                    segment_mean_dense(idx, g, m, model.num_rows(pname), premasked),
+                )
+                continue
+            offsets, total = {}, 0
+            for pname in names:
+                offsets[pname] = total
+                total += model.num_rows(pname)
+            cidx = jnp.concatenate(
+                [occ[p][0] + offsets[p] for p in names]
             )
-        else:
-            raise ValueError(f"unknown aggregate mode {aggregate!r}")
+            cg = jnp.concatenate([occ[p][1] for p in names])
+            cm = jnp.concatenate([occ[p][2] for p in names])
+            dg_all = segment_mean_dense(cidx, cg, cm, total, premasked)
+            for pname in names:
+                lo = offsets[pname]
+                hi = lo + model.num_rows(pname)
+                apply_dense_grads(
+                    pname,
+                    DenseGrads(
+                        grads=dg_all.grads[lo:hi], count=dg_all.count[lo:hi]
+                    ),
+                )
+    else:
+        raise ValueError(f"unknown aggregate mode {aggregate!r}")
     for pname, g in g_dense.items():
         params[pname], opt_state[pname] = opt.apply_full(
             params[pname], opt_state[pname], g
@@ -252,8 +390,31 @@ def make_pairwise_step(
     sampler: Callable,  # (key, pos (B,3), mask (B,)) -> (pos_rep, neg, pair_mask)
     margin: float,
     aggregate: str = "unique",
+    fused: bool = True,
 ):
-    """One pairwise SGD step: sample negatives, rank, update on violations."""
+    """One pairwise SGD step: sample negatives, rank, update on violations.
+
+    When the sampler exposes the structured `corruptions` protocol (all
+    built-in samplers do) and `fused` is set, the step uses the
+    structurally-fused gradient path (same math, ~2x fewer scatters/gathers —
+    see pairwise_grads_fused). Set fused=False to force the generic path.
+    """
+    if fused and hasattr(sampler, "corruptions"):
+        def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
+            key, sk = jax.random.split(state.key)
+            corr = sampler.corruptions(sk, batch, mask)
+            loss, nviol, occ, g_dense = pairwise_grads_fused(
+                model, state.params, batch, corr, mask, margin
+            )
+            params, opt_state = apply_gradients(
+                model, opt, state.params, state.opt_state, occ, g_dense,
+                aggregate, premasked=True,
+            )
+            new_state = TrainState(params, opt_state, key, state.step + 1)
+            return new_state, StepMetrics(loss=loss, nviolations=nviol)
+
+        return step
+
     update = make_pairwise_update(model, opt, margin, aggregate)
 
     def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
