@@ -187,16 +187,26 @@ def pairwise_grads_fused(
     in tests/test_fused.py.
     """
     s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
+    b = pos.shape[0]
+    n_corr = len(corruptions)
     rows = model.gather_rows(params, s, o, p)
     dense = model.dense_params(params)
     af = ACTIVATIONS[model.pairwise_af][0]
     slot_by_role = {role: (slot, pname) for slot, pname, role in model.slot_spec()}
     role_of_mode = {0: "s", 1: "o"}
 
-    crows = []
-    for mode, repl, _ in corruptions:
-        _, pname = slot_by_role[role_of_mode[mode]]
-        crows.append(params[pname][repl])
+    # ONE fused gather for all corruption rows (gathers are row-rate-limited
+    # on TPU with a per-op fixed cost; |modes| separate gathers would pay it
+    # |modes| times). All corruptions target the entity table in every model
+    # here (subject/object roles share one param).
+    cparam = slot_by_role["s"][1]
+    assert cparam == slot_by_role["o"][1], "fused path assumes shared entity table"
+    all_repl = jnp.concatenate([repl for _, repl, _ in corruptions])
+    crows_flat = params[cparam][all_repl]  # (n_corr * B, d)
+    # slice OUTSIDE the differentiated function: static views, and the
+    # backward pass yields per-corruption cotangents directly (no padded
+    # dynamic-slice transpose buffers)
+    crows = [crows_flat[c * b : (c + 1) * b] for c in range(n_corr)]
 
     def loss_fn(rows, crows, dense):
         gp = af(model.score_from_rows(rows, dense))
@@ -217,6 +227,7 @@ def pairwise_grads_fused(
     (loss, fms), (g_rows, g_crows, g_dense) = jax.value_and_grad(
         loss_fn, argnums=(0, 1, 2), has_aux=True
     )(rows, crows, dense)
+    g_crows_flat = jnp.concatenate(g_crows)
 
     m_sum = sum(fms)
     nviol = jnp.sum(m_sum)
@@ -238,12 +249,10 @@ def pairwise_grads_fused(
         idxs.append(role_idx[role])
         grads.append(g_rows[slot])
         counts.append(cnt)
-    for (mode, repl, _), gc, fm in zip(corruptions, g_crows, fms):
-        _, pname = slot_by_role[role_of_mode[mode]]
-        idxs, grads, counts = occ[pname]
-        idxs.append(repl)
-        grads.append(gc)
-        counts.append(fm)
+    idxs, grads, counts = occ[cparam]
+    idxs.append(all_repl)
+    grads.append(g_crows_flat)
+    counts.append(jnp.concatenate(fms))
     occ = {
         k: (jnp.concatenate(i), jnp.concatenate(g), jnp.concatenate(c))
         for k, (i, g, c) in occ.items()
