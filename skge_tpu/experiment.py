@@ -70,7 +70,11 @@ class Experiment:
 
     def __init__(self, args: argparse.Namespace):
         self.args = args
-        if args.fin:
+        if args.tsv:
+            from skge_tpu.data import load_tsv
+
+            self.ds = load_tsv(*args.tsv, order=args.tsv_order)
+        elif args.fin:
             self.ds = load_dataset(args.fin)
         else:
             self.ds = synthetic_kg(
@@ -199,6 +203,11 @@ def make_parser() -> argparse.ArgumentParser:
         description="TPU-native KGE training/evaluation (scikit-kge capabilities)"
     )
     p.add_argument("--fin", default=None, help="dataset pickle (reference format)")
+    p.add_argument("--tsv", nargs=3, default=None,
+                   metavar=("TRAIN", "VALID", "TEST"),
+                   help="raw triple text files (native C++ loader)")
+    p.add_argument("--tsv-order", default="spo",
+                   help="column order of the --tsv files over {s,p,o}")
     p.add_argument("--fout", default=None, help="best-model checkpoint path")
     p.add_argument("--model", default="hole", choices=sorted(MODELS))
     p.add_argument("--test-all", dest="test_all", type=int, default=10,
