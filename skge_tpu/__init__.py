@@ -18,6 +18,7 @@ from skge_tpu.sampling import (
     CorruptedSampler,
     LCWASampler,
     RandomModeSampler,
+    SharedNegativeSampler,
 )
 from skge_tpu.training import (
     TrainState,
@@ -43,6 +44,7 @@ __all__ = [
     "LCWASampler",
     "BernoulliSampler",
     "CorruptedSampler",
+    "SharedNegativeSampler",
     "SAMPLERS",
     "TrainState",
     "init_state",

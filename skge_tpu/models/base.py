@@ -148,6 +148,28 @@ class KGEModel:
     def score_from_rows(self, rows: Rows, dense: Params) -> jnp.ndarray:
         raise NotImplementedError
 
+    def score_pool(
+        self, rows: Rows, pool_rows: jnp.ndarray, dense: Params, mode: int
+    ) -> jnp.ndarray:
+        """Scores of every positive against every pool entity: (B, K).
+
+        Pool row k is substituted into role `mode` (0 = subject, 1 = object)
+        of each positive — the shared-negative-pool training scheme
+        (PBG/DGL-KE style; no reference counterpart, build-scope per
+        BASELINE.md). This generic fallback vmaps `score_from_rows` over the
+        pool; TransE/HolE/RESCAL override it with an MXU matmul against a
+        (B, d) query (the same algebra as their `score_all_*` eval paths).
+        """
+        role = {0: "s", 1: "o"}[mode]
+        slot = next(sl for sl, _, r in self.slot_spec() if r == role)
+
+        def one(prow):
+            r = dict(rows)
+            r[slot] = jnp.broadcast_to(prow, rows[slot].shape)
+            return self.score_from_rows(r, dense)
+
+        return jax.vmap(one, out_axes=1)(pool_rows)
+
     def score_all_o(self, params: Params, s, p) -> jnp.ndarray:
         """Scores of (s, e, p) for every entity e: shape (B, n_entities)."""
         raise NotImplementedError

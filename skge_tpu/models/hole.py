@@ -48,6 +48,19 @@ class HolE(KGEModel):
     def score_from_rows(self, rows, dense):
         return jnp.sum(rows["rp"] * ccorr(rows["es"], rows["eo"]), axis=-1)
 
+    def score_pool(self, rows, pool_rows, dense, mode):
+        """(B, K) pool scores via the adjoint identities — one MXU matmul.
+
+        mode 1: score(s, e_k, p) = e_k . cconv(es, rp);
+        mode 0: score(e_k, o, p) = e_k . ccorr(rp, eo).
+        """
+        q = (
+            cconv(rows["es"], rows["rp"])
+            if mode == 1
+            else ccorr(rows["rp"], rows["eo"])
+        )
+        return mxu_dot(q, pool_rows.T)
+
     def score_all_o(self, params: Params, s, p):
         q = cconv(params["E"][s], params["R"][p])  # (B, d)
         return mxu_dot(q, params["E"].T)

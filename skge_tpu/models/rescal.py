@@ -48,6 +48,22 @@ class RESCAL(KGEModel):
             preferred_element_type=acc_dtype(rows["es"]),
         )
 
+    def score_pool(self, rows, pool_rows, dense, mode):
+        """(B, K) pool scores: contract the bilinear form down to a (B, d)
+        query (es^T W_p for mode 1, W_p e_o for mode 0), then one MXU matmul
+        against the pool."""
+        if mode == 1:
+            q = jnp.einsum(
+                "bi,bij->bj", rows["es"], rows["wp"],
+                preferred_element_type=acc_dtype(rows["es"]),
+            )
+        else:
+            q = jnp.einsum(
+                "bij,bj->bi", rows["wp"], rows["eo"],
+                preferred_element_type=acc_dtype(rows["eo"]),
+            )
+        return mxu_dot(q, pool_rows.T)
+
     def score_all_o(self, params: Params, s, p):
         q = jnp.einsum(
             "bi,bij->bj",

@@ -72,6 +72,36 @@ class TransE(KGEModel):
         out = jnp.moveaxis(out, 0, 1).reshape(q.shape[0], -1)
         return out[:, :n_e]
 
+    def score_pool(self, rows, pool_rows, dense, mode):
+        """(B, K) distances to the shared negative pool.
+
+        mode 1: -||(es + rp) - e_k||; mode 0: -||e_k - (eo - rp)|| — both are
+        distances between a (B, d) query and the pool. L2 rides the MXU via
+        the norm expansion; L1 chunks the pool to bound the (B, Kc, d)
+        broadcast and recomputes it in the backward pass (jax.checkpoint) so
+        the full (B, K, d) sign tensor is never materialized.
+        """
+        q = rows["es"] + rows["rp"] if mode == 1 else rows["eo"] - rows["rp"]
+        if not self.l1:
+            qn = jnp.sum(q * q, axis=-1, keepdims=True)
+            pn = jnp.sum(pool_rows * pool_rows, axis=-1)[None, :]
+            return -(qn - 2.0 * mxu_dot(q, pool_rows.T) + pn)
+        k = pool_rows.shape[0]
+        chunk = max(1, min(k, 512))
+        pad = (-k) % chunk
+        pp = jnp.pad(pool_rows, ((0, pad), (0, 0)))
+        pc = pp.reshape(-1, chunk, pool_rows.shape[1])
+
+        @jax.checkpoint
+        def body(pblk):
+            return -jnp.sum(
+                jnp.abs(q[:, None, :] - pblk[None, :, :]), axis=-1
+            )
+
+        out = jax.lax.map(body, pc)  # (n_chunks, B, chunk)
+        out = jnp.moveaxis(out, 0, 1).reshape(q.shape[0], -1)
+        return out[:, :k]
+
     def score_all_o(self, params: Params, s, p):
         q = params["E"][s] + params["R"][p]
         return self._score_all(params["E"], q, -1.0)

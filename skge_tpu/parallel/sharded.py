@@ -37,6 +37,7 @@ from skge_tpu.training import (
     make_pairwise_update,
     make_pointwise_update,
     pairwise_grads_fused,
+    pairwise_grads_shared,
 )
 
 
@@ -55,15 +56,34 @@ def make_sharded_pairwise_step(
     st_sh = state_shardings(model, mesh)
     b_sh = batch_sharding(mesh)
     m_sh = mask_sharding(mesh)
+    shared = hasattr(sampler, "pool")
     fused = hasattr(sampler, "corruptions")
     update = (
-        None if fused else make_pairwise_update(model, opt, margin, "dense")
+        None
+        if fused or shared
+        else make_pairwise_update(model, opt, margin, "dense")
     )
 
     def step(state: TrainState, batch, mask):
         batch = jax.lax.with_sharding_constraint(batch, b_sh)
         mask = jax.lax.with_sharding_constraint(mask, m_sh)
         key, sk = jax.random.split(state.key)
+        if shared:
+            # pool ids are replicated; pool scoring against the row-sharded
+            # entity table inserts an all-gather of K pool rows over ICI,
+            # and pool-row gradients psum back — both O(K*d), independent
+            # of batch size
+            pool_idx = sampler.pool(sk, batch, mask)
+            loss, nviol, occ, g_dense = pairwise_grads_shared(
+                model, state.params, batch, pool_idx, mask, margin,
+                modes=sampler.modes,
+            )
+            params, opt_state = apply_gradients(
+                model, opt, state.params, state.opt_state, occ, g_dense,
+                "dense", premasked=True,
+            )
+            new_state = TrainState(params, opt_state, key, state.step + 1)
+            return new_state, StepMetrics(loss=loss, nviolations=nviol)
         if fused:
             # structurally-fused path: fewer gathers and smaller gradient
             # scatters => fewer/lighter cross-chip collectives on the

@@ -261,6 +261,97 @@ def pairwise_grads_fused(
     return loss, nviol, occ, g_dense
 
 
+def pairwise_grads_shared(
+    model: KGEModel,
+    params: Params,
+    pos: jnp.ndarray,        # (B, 3) positives
+    pool_idx: jnp.ndarray,   # (K,) shared negative entity ids
+    mask: jnp.ndarray,       # (B,) batch validity
+    margin: float,
+    modes: Tuple[int, ...] = (0, 1),
+):
+    """Shared-negative-pool pairwise gradients (PBG/DGL-KE scheme).
+
+    Every positive b is ranked against every pool entity k substituted into
+    each role in `modes` — B*K*|modes| margin-ranked pairs per step, with the
+    SAME per-pair semantics as the reference trainer (violation filtering
+    before the gradient, `pairwise_af` transform before the margin test,
+    duplicate-occurrence AVERAGING): this path is exactly the generic
+    `pairwise_grads` over the fully expanded pair list (verified in
+    tests/test_shared.py), computed without ever materializing it.
+
+    Occurrence counts for the duplicate averaging (m_mode[b] = number of
+    violating pairs of that mode for positive b):
+
+        cnt(s_b)    = 2*m_o[b] + m_s[b]   (subject sits in pos+neg of an
+                                           object-corrupted pair, pos only
+                                           of a subject-corrupted pair)
+        cnt(o_b)    = m_o[b] + 2*m_s[b]
+        cnt(rel_b)  = 2*(m_o[b] + m_s[b])
+        cnt(pool_k) = sum_b fm_o[b,k] + fm_s[b,k]
+
+    The gradient scatter shrinks from O(B*K) corrupted rows (iid corruption)
+    to 3B base rows + K pool rows, and pool scoring is an MXU matmul for
+    dot-style models — the scatter was 80% of the iid step time on TPU.
+    """
+    s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
+    rows = model.gather_rows(params, s, o, p)
+    slot_by_role = {role: (slot, pname) for slot, pname, role in model.slot_spec()}
+    epname = slot_by_role["s"][1]
+    assert epname == slot_by_role["o"][1], "shared pool assumes one entity table"
+    pool_rows = params[epname][pool_idx]  # (K, d)
+    dense = model.dense_params(params)
+    af = ACTIVATIONS[model.pairwise_af][0]
+
+    def loss_fn(rows, pool_rows, dense):
+        gp = af(model.score_from_rows(rows, dense))  # (B,)
+        loss = 0.0
+        fms = []
+        for mode in modes:
+            gn = af(model.score_pool(rows, pool_rows, dense, mode))  # (B, K)
+            viol = jnp.logical_and(
+                gn + margin > gp[:, None], (mask > 0)[:, None]
+            )
+            fm = jax.lax.stop_gradient(viol.astype(gp.dtype))
+            fms.append(fm)
+            loss = loss + jnp.sum(fm * (margin + gn - gp[:, None]))
+        return loss, fms
+
+    (loss, fms), (g_rows, g_pool, g_dense) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(rows, pool_rows, dense)
+
+    m = [jnp.sum(fm, axis=1) for fm in fms]  # per-positive violation counts
+    m_total = sum(m)
+    nviol = jnp.sum(m_total)
+
+    occ: dict = {}
+    role_idx = {"s": s, "o": o, "p": p}
+    role_mode = {"s": 0, "o": 1}
+    for slot, pname, role in model.slot_spec():
+        idxs, grads, counts = occ.setdefault(pname, ([], [], []))
+        if role == "p":
+            cnt = 2.0 * m_total
+        else:
+            cnt = sum(
+                mm * (1.0 if mode == role_mode[role] else 2.0)
+                for mode, mm in zip(modes, m)
+            )
+        idxs.append(role_idx[role])
+        grads.append(g_rows[slot])
+        counts.append(cnt)
+    idxs, grads, counts = occ[epname]
+    idxs.append(pool_idx)
+    grads.append(g_pool)
+    counts.append(sum(jnp.sum(fm, axis=0) for fm in fms))
+    occ = {
+        k: (jnp.concatenate(i), jnp.concatenate(g), jnp.concatenate(c))
+        for k, (i, g, c) in occ.items()
+    }
+    g_dense = {k: v / jnp.maximum(nviol, 1.0) for k, v in g_dense.items()}
+    return loss, nviol, occ, g_dense
+
+
 # ---------------------------------------------------------------------------
 # Updates
 # ---------------------------------------------------------------------------
@@ -407,7 +498,26 @@ def make_pairwise_step(
     built-in samplers do) and `fused` is set, the step uses the
     structurally-fused gradient path (same math, ~2x fewer scatters/gathers —
     see pairwise_grads_fused). Set fused=False to force the generic path.
+    A sampler exposing the `pool` protocol (SharedNegativeSampler) selects
+    the shared-negative-pool path instead (pairwise_grads_shared).
     """
+    if fused and hasattr(sampler, "pool"):
+        def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
+            key, sk = jax.random.split(state.key)
+            pool_idx = sampler.pool(sk, batch, mask)
+            loss, nviol, occ, g_dense = pairwise_grads_shared(
+                model, state.params, batch, pool_idx, mask, margin,
+                modes=sampler.modes,
+            )
+            params, opt_state = apply_gradients(
+                model, opt, state.params, state.opt_state, occ, g_dense,
+                aggregate, premasked=True,
+            )
+            new_state = TrainState(params, opt_state, key, state.step + 1)
+            return new_state, StepMetrics(loss=loss, nviolations=nviol)
+
+        return step
+
     if fused and hasattr(sampler, "corruptions"):
         def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
             key, sk = jax.random.split(state.key)
