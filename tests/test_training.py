@@ -112,6 +112,39 @@ def test_transe_pairwise_training_converges_and_ranks(ds):
     assert res.hits[10] > 0.6, res.summary()
 
 
+def test_shared_pool_generalizes_on_latent_kg():
+    """Quality gate for the flagship shared-negative scheme: on a genuinely
+    learnable KG (latent translational geometry), held-out filtered MRR of
+    shared-pool training must be in the same range as iid corruption at the
+    same epoch budget (on TPU at production scale the shared scheme matched
+    or beat iid: 0.138 vs 0.128 L1 / 0.217 vs 0.202 L2 MRR at 60 epochs)."""
+    from skge_tpu import SharedNegativeSampler
+    from skge_tpu.data import latent_kg
+
+    kg = latent_kg(
+        n_entities=400, n_relations=8, n_train=2400, n_test=300,
+        latent_dim=8, seed=3,
+    )
+    model = TransE(kg.n_entities, kg.n_relations, ncomp=32, l1=False)
+    opt = AdaGrad(lr=0.1)
+    xs = jnp.asarray(kg.train)
+    ev = FilteredRankingEval(model, kg.test, kg.all_triples(), batch_size=150)
+
+    mrr = {}
+    for name, sampler in (
+        ("iid", RandomModeSampler(kg.n_entities, modes=(0, 1) * 4)),
+        ("shared", SharedNegativeSampler(kg.n_entities, k=64)),
+    ):
+        step = make_pairwise_step(model, opt, sampler, margin=1.0)
+        epoch = jax.jit(make_epoch_fn(step, kg.train.shape[0], nbatches=8))
+        state = init_state(model, opt, jax.random.PRNGKey(1))
+        for _ in range(30):
+            state, _ = epoch(state, xs)
+        mrr[name] = ev(state.params).mrr
+    assert mrr["shared"] > 0.1, mrr
+    assert mrr["shared"] > 0.7 * mrr["iid"], mrr
+
+
 def test_hole_pointwise_training_loss_decreases(ds):
     model = HolE(ds.n_entities, ds.n_relations, ncomp=24)
     opt = AdaGrad(lr=0.1)
