@@ -45,8 +45,12 @@ def main() -> None:
     ap.add_argument("--relations", type=int, default=1345)
     ap.add_argument("--ntrain", type=int, default=483142)
     ap.add_argument(
-        "--aggregate", default="dense", choices=["unique", "dense"],
-        help="gradient aggregation path (table scatter is fastest on TPU)",
+        "--aggregate", default="dense",
+        choices=["unique", "dense", "dense_pallas"],
+        help="gradient aggregation path. 'dense' = fused XLA table scatter; "
+        "'dense_pallas' = VMEM-resident pallas scatter kernel "
+        "(ops/pallas_segment.py, single-chip, ~1.35x over XLA scatter for "
+        "the iid sampler's large occurrence lists)",
     )
     ap.add_argument(
         "--sampler", default="shared", choices=["shared", "random-mode"],

@@ -96,21 +96,40 @@ def segment_mean_dense(
     mask: jnp.ndarray,
     num_rows: int,
     premasked: bool = False,
+    backend: str = "xla",
 ) -> DenseGrads:
     """Same semantics as `segment_mean_unique` but into full-table arrays.
 
     Gradients and occurrence counts are scattered in ONE fused scatter-add
     (counts ride as an extra trailing channel) — scatters dominate the train
     step on TPU, so halving their number matters.
+
+    backend='pallas' routes the scatter through the hand-rolled
+    VMEM-resident kernel (ops/pallas_segment.py; ~1.35x over the XLA
+    scatter at FB15k shapes) when the table fits VMEM and dtype is fp32;
+    otherwise it falls back to XLA transparently. The pallas path is
+    single-device (the kernel owns the whole table) — use 'xla' under SPMD.
     """
     g = grads if premasked else grads * _bmask(mask, grads.ndim).astype(grads.dtype)
     t = indices.shape[0]
     feat_shape = grads.shape[1:]
     flat = g.reshape(t, -1)
     aug = jnp.concatenate([flat, mask.astype(g.dtype)[:, None]], axis=1)
-    table = jnp.zeros((num_rows, aug.shape[1]), g.dtype).at[indices].add(
-        aug, mode="drop"
-    )
+    if backend == "pallas":
+        from skge_tpu.ops.pallas_segment import fits_in_vmem, segment_sum_pallas
+
+        if aug.dtype == jnp.float32 and fits_in_vmem(num_rows, aug.shape[1]):
+            table = segment_sum_pallas(indices, aug, num_rows)
+        else:
+            table = jnp.zeros((num_rows, aug.shape[1]), g.dtype).at[
+                indices
+            ].add(aug, mode="drop")
+    elif backend == "xla":
+        table = jnp.zeros((num_rows, aug.shape[1]), g.dtype).at[indices].add(
+            aug, mode="drop"
+        )
+    else:
+        raise ValueError(f"unknown segment backend {backend!r}")
     count = table[:, -1]
     gsum = table[:, :-1].reshape((num_rows,) + feat_shape)
     gavg = gsum / _bmask(jnp.maximum(count, 1.0), gsum.ndim)

@@ -27,6 +27,7 @@ compile once and run as `lax.scan` on-device (no per-batch Python).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -363,12 +364,18 @@ def apply_gradients(
     opt_state: OptState,
     occ,                      # {pname: (indices, grads, mask_or_counts)}
     g_dense: Params,
-    aggregate: str = "unique",  # 'unique' (batch-local) | 'dense' (SPMD)
+    aggregate: str = "unique",  # 'unique' | 'dense' (SPMD) | 'dense_pallas'
     premasked: bool = False,    # occ grads pre-weighted, mask = counts
 ) -> Tuple[Params, OptState]:
     params = dict(params)
     opt_state = dict(opt_state)
     reg = model.regularization
+    backend = "xla"
+    if aggregate == "dense_pallas":
+        # single-device fast path: the scatter-add runs in the VMEM-resident
+        # pallas kernel (ops/pallas_segment.py)
+        aggregate, backend = "dense", "pallas"
+    seg_dense = partial(segment_mean_dense, backend=backend)
 
     def apply_dense_grads(pname, dg: DenseGrads):
         if reg != 0.0 and pname in model.reg_row_params:
@@ -401,7 +408,7 @@ def apply_gradients(
                 idx, g, m = occ[pname]
                 apply_dense_grads(
                     pname,
-                    segment_mean_dense(idx, g, m, model.num_rows(pname), premasked),
+                    seg_dense(idx, g, m, model.num_rows(pname), premasked),
                 )
                 continue
             offsets, total = {}, 0
@@ -413,7 +420,7 @@ def apply_gradients(
             )
             cg = jnp.concatenate([occ[p][1] for p in names])
             cm = jnp.concatenate([occ[p][2] for p in names])
-            dg_all = segment_mean_dense(cidx, cg, cm, total, premasked)
+            dg_all = seg_dense(cidx, cg, cm, total, premasked)
             for pname in names:
                 lo = offsets[pname]
                 hi = lo + model.num_rows(pname)
