@@ -41,9 +41,11 @@ from skge_tpu.utils.checkpoint import save_checkpoint
 log = logging.getLogger("skge_tpu.experiment")
 
 
-def build_sampler(name: str, ds: Dataset, ntries: int = 100):
+def build_sampler(name: str, ds: Dataset, ntries: int = 100, k: int = 1024):
     import jax.numpy as jnp
 
+    if name == "shared":
+        return sampling.SharedNegativeSampler(ds.n_entities, k=k)
     if name == "random-mode":
         return sampling.RandomModeSampler(ds.n_entities)
     if name == "lcwa":
@@ -106,10 +108,11 @@ class Experiment:
             learning_rate=args.lr,
             margin=args.margin,
             pairwise=not args.no_pairwise,
+            aggregate=args.aggregate,
             seed=args.seed,
             metrics_jsonl=args.metrics,
         )
-        sampler = build_sampler(args.sampler, self.ds, args.ntries)
+        sampler = build_sampler(args.sampler, self.ds, args.ntries, args.k)
         self.trainer = Trainer(
             self.model, sampler, cfg, post_epoch=[self._callback]
         )
@@ -218,7 +221,14 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--ncomp", type=int, default=150, help="embedding dim")
     p.add_argument("--margin", type=float, default=0.2, help="pairwise margin")
     p.add_argument("--sampler", default="random-mode",
-                   choices=["random-mode", "lcwa", "corrupted", "bernoulli"])
+                   choices=["random-mode", "lcwa", "corrupted", "bernoulli",
+                            "shared"])
+    p.add_argument("--k", type=int, default=1024,
+                   help="shared-pool size (--sampler shared)")
+    p.add_argument("--aggregate", default="unique",
+                   choices=["unique", "dense", "dense_pallas"],
+                   help="gradient aggregation backend (dense_pallas = "
+                   "single-chip Pallas scatter kernel)")
     p.add_argument("--mode", default="rank", choices=["rank", "none"])
     p.add_argument("--no-pairwise", action="store_true",
                    help="use pointwise logistic loss")

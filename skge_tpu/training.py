@@ -163,6 +163,7 @@ def pairwise_grads_fused(
     corruptions,            # [(mode, replacement (B,), valid (B,)), ...]
     mask: jnp.ndarray,      # (B,) batch validity
     margin: float,
+    gather: Optional[Callable] = None,  # (pname, idx) -> rows override
 ):
     """Structurally-fused pairwise gradients — exact reference semantics,
     a fraction of the memory traffic.
@@ -190,7 +191,13 @@ def pairwise_grads_fused(
     s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
     b = pos.shape[0]
     n_corr = len(corruptions)
-    rows = model.gather_rows(params, s, o, p)
+    if gather is None:
+        gather = lambda pname, idx: params[pname][idx]  # noqa: E731
+    role_idx_map = {"s": s, "o": o, "p": p}
+    rows = {
+        slot: gather(pname, role_idx_map[role])
+        for slot, pname, role in model.slot_spec()
+    }
     dense = model.dense_params(params)
     af = ACTIVATIONS[model.pairwise_af][0]
     slot_by_role = {role: (slot, pname) for slot, pname, role in model.slot_spec()}
@@ -203,7 +210,7 @@ def pairwise_grads_fused(
     cparam = slot_by_role["s"][1]
     assert cparam == slot_by_role["o"][1], "fused path assumes shared entity table"
     all_repl = jnp.concatenate([repl for _, repl, _ in corruptions])
-    crows_flat = params[cparam][all_repl]  # (n_corr * B, d)
+    crows_flat = gather(cparam, all_repl)  # (n_corr * B, d)
     # slice OUTSIDE the differentiated function: static views, and the
     # backward pass yields per-corruption cotangents directly (no padded
     # dynamic-slice transpose buffers)
@@ -270,6 +277,7 @@ def pairwise_grads_shared(
     mask: jnp.ndarray,       # (B,) batch validity
     margin: float,
     modes: Tuple[int, ...] = (0, 1),
+    gather: Optional[Callable] = None,  # (pname, idx) -> rows override
 ):
     """Shared-negative-pool pairwise gradients (PBG/DGL-KE scheme).
 
@@ -296,11 +304,17 @@ def pairwise_grads_shared(
     dot-style models — the scatter was 80% of the iid step time on TPU.
     """
     s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
-    rows = model.gather_rows(params, s, o, p)
+    if gather is None:
+        gather = lambda pname, idx: params[pname][idx]  # noqa: E731
+    role_idx_map = {"s": s, "o": o, "p": p}
+    rows = {
+        slot: gather(pname, role_idx_map[role])
+        for slot, pname, role in model.slot_spec()
+    }
     slot_by_role = {role: (slot, pname) for slot, pname, role in model.slot_spec()}
     epname = slot_by_role["s"][1]
     assert epname == slot_by_role["o"][1], "shared pool assumes one entity table"
-    pool_rows = params[epname][pool_idx]  # (K, d)
+    pool_rows = gather(epname, pool_idx)  # (K, d)
     dense = model.dense_params(params)
     af = ACTIVATIONS[model.pairwise_af][0]
 

@@ -1,0 +1,160 @@
+"""Explicit-SPMD (shard_map) step: distributed math must equal the
+single-device update exactly.
+
+Deterministic samplers remove RNG from the comparison; the (4, 2) mesh
+exercises both collectives (entity-row gather psum over 'model', gradient
+table psum over 'data') against the plain single-device apply path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from skge_tpu import AdaGrad, ERMLP, HolE, TransE, init_state, training  # noqa: E402
+from skge_tpu.parallel.mesh import make_mesh  # noqa: E402
+from skge_tpu.parallel.shardmap_step import (  # noqa: E402
+    make_shardmap_pairwise_step,
+    shard_state_shardmap,
+)
+
+N_E, N_R, D, B = 24, 5, 16, 32
+
+
+class FixedPool:
+    """Deterministic `pool` protocol sampler."""
+
+    modes = (0, 1)
+
+    def __init__(self, pool):
+        self._pool = pool
+
+    def pool(self, key, pos, mask):
+        return self._pool
+
+
+class FixedCorruptions:
+    """Deterministic `corruptions` protocol sampler.
+
+    Holds global (B,) replacement arrays; inside shard_map (local batch
+    smaller than B) each data shard takes its own slice so the distributed
+    run corrupts exactly like the single-device one.
+    """
+
+    def __init__(self, repls):
+        self._repls = repls  # [(mode, (B,) replacement array), ...]
+
+    def corruptions(self, key, pos, mask):
+        b = pos.shape[0]
+        out = []
+        for m, r in self._repls:
+            if r.shape[0] != b:
+                i = jax.lax.axis_index("data")
+                r = jax.lax.dynamic_slice_in_dim(r, i * b, b)
+            out.append((m, r, mask))
+        return out
+
+
+def make_model(name):
+    if name == "transe":
+        return TransE(N_E, N_R, D, dtype="float64")
+    if name == "hole":
+        return HolE(N_E, N_R, D, dtype="float64", rparam=0.01)
+    return ERMLP(N_E, N_R, D, dtype="float64", nhidden=7)
+
+
+def make_batch(seed):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        np.stack(
+            [rng.integers(0, N_E, B), rng.integers(0, N_E, B),
+             rng.integers(0, N_R, B)], axis=1
+        ).astype(np.int32)
+    )
+
+
+def reference_steps(model, opt, sampler, batch, mask, margin, nsteps):
+    """Single-device trajectory through the plain functional path."""
+    state = init_state(model, opt, jax.random.PRNGKey(4))
+    shared = hasattr(sampler, "pool")
+    for _ in range(nsteps):
+        if shared:
+            loss, nviol, occ, g_dense = training.pairwise_grads_shared(
+                model, state.params, batch, sampler.pool(None, batch, mask),
+                mask, margin,
+            )
+        else:
+            loss, nviol, occ, g_dense = training.pairwise_grads_fused(
+                model, state.params, batch,
+                sampler.corruptions(None, batch, mask), mask, margin,
+            )
+        params, opt_state = training.apply_gradients(
+            model, opt, state.params, state.opt_state, occ, g_dense,
+            "dense", premasked=True,
+        )
+        state = training.TrainState(
+            params, opt_state, state.key, state.step + 1
+        )
+    return state, (loss, nviol)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize("case", ["transe", "hole", "ermlp"])
+def test_shardmap_step_matches_single_device(case, mesh_shape):
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs 8 virtual devices")
+    model = make_model(case)
+    opt = AdaGrad(lr=0.1)
+    margin = 0.7
+    batch = make_batch(5)
+    mask = jnp.ones(B, jnp.float64)
+    rng = np.random.default_rng(6)
+
+    for sampler in (
+        FixedPool(jnp.asarray(rng.integers(0, N_E, 9), jnp.int32)),
+        FixedCorruptions([
+            (0, jnp.asarray(rng.integers(0, N_E, B), jnp.int32)),
+            (1, jnp.asarray(rng.integers(0, N_E, B), jnp.int32)),
+        ]),
+    ):
+        want, (wloss, wnviol) = reference_steps(
+            model, opt, sampler, batch, mask, margin, nsteps=3
+        )
+
+        mesh = make_mesh(jax.devices()[:n_dev], shape=mesh_shape)
+        step = make_shardmap_pairwise_step(model, opt, sampler, margin, mesh)
+        state = shard_state_shardmap(
+            init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+        )
+        for _ in range(3):
+            state, m = step(state, batch, mask)
+
+        assert int(m.nviolations) == int(wnviol)
+        np.testing.assert_allclose(float(m.loss), float(wloss), rtol=1e-9)
+        for k in want.params:
+            np.testing.assert_allclose(
+                np.asarray(state.params[k]), np.asarray(want.params[k]),
+                rtol=1e-9, atol=1e-12, err_msg=f"{case} param {k}",
+            )
+            for sn in want.opt_state[k]:
+                np.testing.assert_allclose(
+                    np.asarray(state.opt_state[k][sn]),
+                    np.asarray(want.opt_state[k][sn]),
+                    rtol=1e-9, atol=1e-12, err_msg=f"{case} opt {k}/{sn}",
+                )
+
+
+def test_shardmap_rejects_indivisible_entity_count():
+    model = TransE(N_E + 1, N_R, D)  # 25 not divisible by model axis 2
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(jax.devices()[:2], shape=(1, 2))
+    with pytest.raises(ValueError, match="divisible"):
+        make_shardmap_pairwise_step(
+            model, AdaGrad(), FixedPool(jnp.zeros(4, jnp.int32)), 1.0, mesh
+        )
