@@ -15,6 +15,10 @@ from skge_tpu.parallel.sharded import (
     make_sharded_pointwise_step,
     make_sharded_score_all_o,
 )
+from skge_tpu.parallel.shardmap_step import (
+    make_shardmap_pairwise_step,
+    shard_state_shardmap,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -28,4 +32,6 @@ __all__ = [
     "make_sharded_pairwise_step",
     "make_sharded_pointwise_step",
     "make_sharded_score_all_o",
+    "make_shardmap_pairwise_step",
+    "shard_state_shardmap",
 ]

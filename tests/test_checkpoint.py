@@ -53,6 +53,83 @@ def test_resume_reproduces_uninterrupted_run(tmp_path):
     )
 
 
+def test_sigkill_fault_injection_resume(tmp_path):
+    """Real fault injection (SURVEY.md §5): a training PROCESS is SIGKILLed
+    mid-run; resuming from its last atomic checkpoint reproduces the
+    uninterrupted trajectory exactly."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ckpt = str(tmp_path / "victim.npz")
+    marker = str(tmp_path / "epochs.log")
+    script = tmp_path / "victim.py"
+    script.write_text(
+        f"""
+import sys, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # match the pytest process
+sys.path.insert(0, {str(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
+from skge_tpu import RandomModeSampler, TransE
+from skge_tpu.data import synthetic_kg
+from skge_tpu.trainer import TrainConfig, Trainer
+
+ds = synthetic_kg(60, 4, n_train=300, seed=5)
+model = TransE(ds.n_entities, ds.n_relations, ncomp=16)
+cfg = TrainConfig(max_epochs=6, nbatches=6, margin=0.3, seed=3,
+                  checkpoint_path={ckpt!r}, checkpoint_every=1)
+
+def slow_cb(tr):
+    with open({marker!r}, "a") as f:
+        f.write(f"{{tr.epoch}}\\n")
+    time.sleep(0.8)   # window for the killer
+    return True
+
+Trainer(model, RandomModeSampler(ds.n_entities), cfg,
+        post_epoch=[slow_cb]).fit(ds.train)
+"""
+    )
+    proc = subprocess.Popen([sys.executable, str(script)])
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if os.path.exists(marker) and len(open(marker).readlines()) >= 2:
+                break
+            if proc.poll() is not None:
+                raise AssertionError("victim exited before it could be killed")
+            time.sleep(0.1)
+        else:
+            raise AssertionError("victim never reached epoch 2")
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == -signal.SIGKILL
+
+    restored, meta = load_checkpoint(ckpt)
+    killed_at = meta["epoch"]
+    assert 1 <= killed_at < 6
+
+    ds = synthetic_kg(60, 4, n_train=300, seed=5)
+    _, t_resume = _trainer(ds, 6)
+    state_resumed = t_resume.fit(
+        ds.train, state=restored, start_epoch=killed_at
+    )
+    _, t_full = _trainer(ds, 6)
+    state_full = t_full.fit(ds.train)
+    for k in state_full.params:
+        np.testing.assert_allclose(
+            np.asarray(state_resumed.params[k]),
+            np.asarray(state_full.params[k]),
+            rtol=1e-6, atol=1e-7,
+            err_msg=f"param {k} diverged after SIGKILL resume",
+        )
+
+
 def test_checkpoint_saves_optimizer_state_and_key(tmp_path):
     """The reference does NOT save optimizer state (SURVEY.md §3.5); we do."""
     ds = synthetic_kg(40, 3, n_train=100, seed=6)
