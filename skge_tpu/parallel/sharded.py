@@ -38,6 +38,7 @@ from skge_tpu.training import (
     make_pointwise_update,
     pairwise_grads_fused,
     pairwise_grads_shared,
+    pointwise_grads_shared,
 )
 
 
@@ -123,11 +124,26 @@ def make_sharded_pointwise_step(
     st_sh = state_shardings(model, mesh)
     b_sh = batch_sharding(mesh)
     m_sh = mask_sharding(mesh)
+    shared = hasattr(sampler, "pool")
 
     def step(state: TrainState, batch, mask):
         batch = jax.lax.with_sharding_constraint(batch, b_sh)
         mask = jax.lax.with_sharding_constraint(mask, m_sh)
         key, sk = jax.random.split(state.key)
+        if shared:
+            pool_idx = sampler.pool(sk, batch, mask)
+            loss, occ, g_dense = pointwise_grads_shared(
+                model, state.params, batch, pool_idx, mask,
+                modes=sampler.modes,
+            )
+            params, opt_state = apply_gradients(
+                model, opt, state.params, state.opt_state, occ, g_dense,
+                "dense", premasked=True,
+            )
+            new_state = TrainState(params, opt_state, key, state.step + 1)
+            return new_state, StepMetrics(
+                loss=loss, nviolations=jnp.zeros((), loss.dtype)
+            )
         pos_rep, neg, pm = sampler(sk, batch, mask)
         state = state._replace(key=key)
         triples = jnp.concatenate([batch, neg])

@@ -367,6 +367,87 @@ def pairwise_grads_shared(
     return loss, nviol, occ, g_dense
 
 
+def pointwise_grads_shared(
+    model: KGEModel,
+    params: Params,
+    pos: jnp.ndarray,        # (B, 3) positives
+    pool_idx: jnp.ndarray,   # (K,) shared negative entity ids
+    mask: jnp.ndarray,       # (B,) batch validity
+    modes: Tuple[int, ...] = (0, 1),
+    gather: Optional[Callable] = None,
+):
+    """Shared-pool POINTWISE (logistic) gradients.
+
+    Reference semantics with the batch expanded to positives (y=+1) plus
+    every (positive, pool-entity, mode) corruption (y=-1): loss
+    `sum(logaddexp(0, -y*f))` over all elements, duplicate-occurrence
+    AVERAGED gradients (occurrence counts below), dense params get the
+    masked-mean gradient over the expanded batch — exactly the generic
+    `pointwise_grads` over that expansion (tests/test_shared.py), computed
+    as (B,K) pool score matrices instead.
+
+    Occurrence counts per valid positive b (K = pool size):
+        cnt(s_b)    = 1 + K*|{m != 0}|   (pos, plus every mode!=subject neg)
+        cnt(o_b)    = 1 + K*|{m != 1}|
+        cnt(rel_b)  = 1 + K*|modes|
+        cnt(pool_k) = |modes| * sum_b mask_b
+    """
+    s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
+    if gather is None:
+        gather = lambda pname, idx: params[pname][idx]  # noqa: E731
+    role_idx_map = {"s": s, "o": o, "p": p}
+    rows = {
+        slot: gather(pname, role_idx_map[role])
+        for slot, pname, role in model.slot_spec()
+    }
+    slot_by_role = {role: (slot, pname) for slot, pname, role in model.slot_spec()}
+    epname = slot_by_role["s"][1]
+    assert epname == slot_by_role["o"][1], "shared pool assumes one entity table"
+    pool_rows = gather(epname, pool_idx)
+    dense = model.dense_params(params)
+    k = pool_idx.shape[0]
+
+    def loss_fn(rows, pool_rows, dense):
+        f_pos = model.score_from_rows(rows, dense)          # (B,)
+        loss = jnp.sum(jnp.logaddexp(0.0, -f_pos) * mask)   # y = +1
+        for mode in modes:
+            f_neg = model.score_pool(rows, pool_rows, dense, mode)  # (B, K)
+            loss = loss + jnp.sum(
+                jnp.logaddexp(0.0, f_neg) * mask[:, None]   # y = -1
+            )
+        return loss
+
+    loss, (g_rows, g_pool, g_dense) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2)
+    )(rows, pool_rows, dense)
+
+    occ: dict = {}
+    for slot, pname, role in model.slot_spec():
+        idxs, grads, counts = occ.setdefault(pname, ([], [], []))
+        if role == "p":
+            cnt = (1.0 + k * len(modes)) * mask
+        else:
+            mode_of_role = 0 if role == "s" else 1
+            n_other = sum(1 for m in modes if m != mode_of_role)
+            cnt = (1.0 + k * n_other) * mask
+        idxs.append(role_idx_map[role])
+        grads.append(g_rows[slot])
+        counts.append(cnt)
+    idxs, grads, counts = occ[epname]
+    idxs.append(pool_idx)
+    grads.append(g_pool)
+    counts.append(
+        jnp.full((k,), float(len(modes)), mask.dtype) * jnp.sum(mask)
+    )
+    occ = {
+        kk: (jnp.concatenate(i), jnp.concatenate(g), jnp.concatenate(c))
+        for kk, (i, g, c) in occ.items()
+    }
+    n_elems = jnp.maximum(jnp.sum(mask) * (1.0 + k * len(modes)), 1.0)
+    g_dense = {kk: v / n_elems for kk, v in g_dense.items()}
+    return loss, occ, g_dense
+
+
 # ---------------------------------------------------------------------------
 # Updates
 # ---------------------------------------------------------------------------
@@ -572,7 +653,30 @@ def make_pointwise_step(
     sampler: Callable,
     aggregate: str = "unique",
 ):
-    """One pointwise step: append sampled negatives (y=-1), logistic loss."""
+    """One pointwise step: append sampled negatives (y=-1), logistic loss.
+
+    A sampler exposing the `pool` protocol (SharedNegativeSampler) selects
+    the shared-pool logistic path (pointwise_grads_shared).
+    """
+    if hasattr(sampler, "pool"):
+        def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
+            key, sk = jax.random.split(state.key)
+            pool_idx = sampler.pool(sk, batch, mask)
+            loss, occ, g_dense = pointwise_grads_shared(
+                model, state.params, batch, pool_idx, mask,
+                modes=sampler.modes,
+            )
+            params, opt_state = apply_gradients(
+                model, opt, state.params, state.opt_state, occ, g_dense,
+                aggregate, premasked=True,
+            )
+            new_state = TrainState(params, opt_state, key, state.step + 1)
+            return new_state, StepMetrics(
+                loss=loss, nviolations=jnp.zeros((), loss.dtype)
+            )
+
+        return step
+
     update = make_pointwise_update(model, opt, aggregate)
 
     def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):

@@ -119,6 +119,52 @@ def test_shared_pool_respects_batch_mask():
         )
 
 
+@pytest.mark.parametrize("case", ["hole", "rescal", "ermlp"])
+@pytest.mark.parametrize("aggregate", ["unique", "dense"])
+def test_shared_pool_pointwise_matches_oracle(case, aggregate):
+    """Logistic loss over the (positives + all pool corruptions) expansion."""
+    model = CASES[case][0]()
+    prm = make_params(model.name)
+    oracle = CASES[case][1](prm)
+    pos = make_batch(seed=41)
+    rng = np.random.default_rng(42)
+    pool = rng.integers(0, N_E, K)
+    mask = np.ones(B)
+    mask[::4] = 0.0
+    keep = [b for b in range(B) if mask[b] > 0]
+
+    xys = [(tuple(map(int, pos[b])), 1.0) for b in keep]
+    for mode in (0, 1):
+        for k in range(K):
+            for b in keep:
+                neg = pos[b].copy()
+                neg[mode] = pool[k]
+                xys.append((tuple(map(int, neg)), -1.0))
+    grads, _ = oracle.gradients(xys)
+    want_prm, want_p2 = oracle_apply(
+        grads, {k: v.copy() for k, v in prm.items()}, model
+    )
+
+    opt = AdaGrad(lr=LR)
+    jprm = to_jax(prm)
+    ost = opt.init(jprm)
+    _, occ, g_dense = training.pointwise_grads_shared(
+        model, jprm, jnp.asarray(pos), jnp.asarray(pool), jnp.asarray(mask)
+    )
+    new_prm, new_ost = training.apply_gradients(
+        model, opt, jprm, ost, occ, g_dense, aggregate, premasked=True
+    )
+    for k in prm:
+        np.testing.assert_allclose(
+            np.asarray(new_prm[k]), want_prm[k], rtol=1e-9, atol=1e-11,
+            err_msg=f"param {k}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_ost[k]["p2"]), want_p2[k], rtol=1e-9, atol=1e-11,
+            err_msg=f"p2 {k}",
+        )
+
+
 @pytest.mark.parametrize("case", ["transe", "transe_l2", "hole"])
 def test_shared_step_equals_expanded_generic_step(case):
     """Same PRNG key => the pool step and the generic step over the sampler's
