@@ -59,6 +59,11 @@ def _bmask(mask: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return mask.reshape(mask.shape + (1,) * (ndim - 1))
 
 
+# flattened feature width above which segment_mean_dense scatters grads and
+# counts separately instead of via the fused count channel (see below)
+_WIDE_ROW_THRESHOLD = 4096
+
+
 def segment_mean_unique(
     indices: jnp.ndarray,
     grads: jnp.ndarray,
@@ -114,6 +119,19 @@ def segment_mean_dense(
     t = indices.shape[0]
     feat_shape = grads.shape[1:]
     flat = g.reshape(t, -1)
+    if flat.shape[1] >= _WIDE_ROW_THRESHOLD:
+        # wide rows (e.g. RESCAL's (d, d) relation slices): the fused count
+        # channel would materialize a full (T, F+1) concat copy that costs
+        # more than the second scatter it saves — measured 1.85x slower at
+        # (4832, 10000) on v5e. Scatter grads and counts separately.
+        gsum = jnp.zeros((num_rows, flat.shape[1]), g.dtype).at[indices].add(
+            flat, mode="drop"
+        ).reshape((num_rows,) + feat_shape)
+        count = jnp.zeros((num_rows,), g.dtype).at[indices].add(
+            mask.astype(g.dtype), mode="drop"
+        )
+        gavg = gsum / _bmask(jnp.maximum(count, 1.0), gsum.ndim)
+        return DenseGrads(grads=gavg, count=count)
     aug = jnp.concatenate([flat, mask.astype(g.dtype)[:, None]], axis=1)
     if backend == "pallas":
         from skge_tpu.ops.pallas_segment import fits_in_vmem, segment_sum_pallas

@@ -111,3 +111,26 @@ def test_normless1_projects_only_large_rows():
     out = np.asarray(normless1_rows(rows))
     np.testing.assert_allclose(out[0], [0.6, 0.8], rtol=1e-12)
     np.testing.assert_allclose(out[1], [0.3, 0.4], rtol=1e-12)
+
+
+def test_segment_mean_dense_wide_row_branch(monkeypatch):
+    """The wide-feature split-scatter branch must equal the fused-channel
+    path exactly (it's a layout change, not a math change)."""
+    import jax.numpy as jnp
+    from skge_tpu.ops import aggregate as agg
+
+    rng = np.random.default_rng(8)
+    t, r, d = 50, 9, 12
+    idx = jnp.asarray(rng.integers(0, r + 2, t))  # incl. out-of-range drops
+    g = jnp.asarray(rng.normal(size=(t, d, d)))
+    m = jnp.asarray((rng.uniform(size=t) > 0.3).astype(np.float64))
+
+    narrow = agg.segment_mean_dense(idx, g, m, r)
+    monkeypatch.setattr(agg, "_WIDE_ROW_THRESHOLD", 1)
+    wide = agg.segment_mean_dense(idx, g, m, r)
+    np.testing.assert_allclose(
+        np.asarray(wide.grads), np.asarray(narrow.grads), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(wide.count), np.asarray(narrow.count), rtol=1e-12
+    )
