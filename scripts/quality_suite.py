@@ -1,0 +1,122 @@
+"""Reference-scale quality suite: all four models on a WN18-sized learnable
+synthetic KG (latent translational geometry — data.latent_kg), trained with
+the flagship shared-negative-pool scheme and evaluated with the filtered
+ranking protocol. Writes a markdown table to RESULTS.md.
+
+Real WN18/FB15k files are not available in this offline environment; this
+suite demonstrates the complete train -> validate -> evaluate pipeline at
+the reference's scale (40,943 entities / 141k train triples) on the real
+chip. Absolute MRR is dataset-specific and NOT comparable to the paper's
+WN18 numbers; the latent KG is TransE-realizable by construction, so the
+translational models should score high and the bilinear/neural models
+lower (opposite of real WN18, where HolE wins).
+
+Usage: python scripts/quality_suite.py [--epochs 100] [--out RESULTS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--k", type=int, default=1024)
+    ap.add_argument("--nbatches", type=int, default=100)
+    ap.add_argument("--entities", type=int, default=40943)   # WN18 shape
+    ap.add_argument("--relations", type=int, default=18)
+    ap.add_argument("--ntrain", type=int, default=141442)
+    ap.add_argument("--latent-dim", type=int, default=32)
+    ap.add_argument("--out", default=None, help="append results to this md file")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skge_tpu import (
+        AdaGrad, SharedNegativeSampler, init_state, make_epoch_fn,
+        make_pairwise_step,
+    )
+    from skge_tpu.data import latent_kg
+    from skge_tpu.evaluation import FilteredRankingEval
+    from skge_tpu.models import ERMLP, HolE, RESCAL, TransE
+
+    print("building latent KG...", flush=True)
+    t0 = time.perf_counter()
+    ds = latent_kg(
+        n_entities=args.entities, n_relations=args.relations,
+        n_train=args.ntrain, n_valid=5000, n_test=5000,
+        latent_dim=args.latent_dim, seed=0,
+    )
+    print(f"  built in {time.perf_counter() - t0:.0f}s", flush=True)
+    xs = jnp.asarray(ds.train)
+    sampler = SharedNegativeSampler(ds.n_entities, k=args.k)
+
+    configs = [
+        ("TransE-L1", TransE(ds.n_entities, ds.n_relations, 150), 2.0),
+        ("TransE-L2", TransE(ds.n_entities, ds.n_relations, 150, l1=False), 1.0),
+        ("HolE", HolE(ds.n_entities, ds.n_relations, 150, rparam=0.0), 0.2),
+        ("RESCAL", RESCAL(ds.n_entities, ds.n_relations, 100, rparam=0.01), 1.0),
+        ("ER-MLP", ERMLP(ds.n_entities, ds.n_relations, 150, nhidden=10), 1.0),
+    ]
+
+    rows = []
+    for name, model, margin in configs:
+        opt = AdaGrad(lr=0.1)
+        step = make_pairwise_step(
+            model, opt, sampler, margin=margin, aggregate="dense"
+        )
+        epoch = jax.jit(
+            make_epoch_fn(step, ds.train.shape[0], args.nbatches),
+            donate_argnums=(0,),
+        )
+        state = init_state(model, opt, jax.random.PRNGKey(0))
+        t0 = time.perf_counter()
+        for _ in range(args.epochs):
+            state, m = epoch(state, xs)
+        np.asarray(m.loss)
+        t_train = time.perf_counter() - t0
+        ev = FilteredRankingEval(model, ds.test, ds.all_triples(), batch_size=1024)
+        r = ev(state.params)
+        rows.append({
+            "model": name, "epochs": args.epochs,
+            "train_s": round(t_train, 1),
+            "mrr": round(r.mrr, 4), "mrr_raw": round(r.mrr_raw, 4),
+            "hits1": round(r.hits[1], 3), "hits3": round(r.hits[3], 3),
+            "hits10": round(r.hits[10], 3), "mr": round(r.mean_rank, 1),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(
+                f"\n## Quality suite — WN18-shaped latent KG "
+                f"({args.entities} entities / {args.relations} relations / "
+                f"{args.ntrain} train), shared pool k={args.k}, "
+                f"{args.epochs} epochs, TPU v5e 1 chip\n\n"
+            )
+            f.write("| Model | filt MRR | raw MRR | H@1 | H@3 | H@10 | MR | train s |\n")
+            f.write("|---|---|---|---|---|---|---|---|\n")
+            for r in rows:
+                f.write(
+                    f"| {r['model']} | {r['mrr']} | {r['mrr_raw']} | "
+                    f"{r['hits1']} | {r['hits3']} | {r['hits10']} | "
+                    f"{r['mr']} | {r['train_s']} |\n"
+                )
+        print(f"appended to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

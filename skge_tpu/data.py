@@ -227,11 +227,13 @@ def latent_kg(
     training-scheme comparisons (iid vs shared negatives) where
     `synthetic_kg`'s unstructured triples cannot differentiate anything.
     """
+    import jax
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(seed)
-    Z = rng.normal(size=(n_entities, latent_dim))
+    Z = rng.normal(size=(n_entities, latent_dim)).astype(np.float32)
     Z /= np.maximum(np.linalg.norm(Z, axis=1, keepdims=True), 1.0)
-    T = rng.normal(size=(n_relations, latent_dim)) * 0.5
-    zn = np.sum(Z * Z, axis=1)
+    T = (rng.normal(size=(n_relations, latent_dim)) * 0.5).astype(np.float32)
 
     total = n_train + n_valid + n_test
     if noise == 0.0 and total > 0.9 * n_entities * n_relations:
@@ -242,19 +244,47 @@ def latent_kg(
             f"total={total} exceeds 90% of the {n_entities * n_relations} "
             "unique noise-free triples; lower the split sizes or set noise>0"
         )
+
+    # nearest-entity assignment runs on the default jax device (the 198
+    # GFLOP argmin sweep at WN18 scale takes minutes in host NumPy but
+    # milliseconds on the accelerator); fp32 on any backend, so the dataset
+    # is deterministic per (seed, backend)
+    Zd = jnp.asarray(Z)
+    Td = jnp.asarray(T)
+    zn = jnp.sum(Zd * Zd, axis=1)
+    chunk = 16384
+
+    @jax.jit
+    def nearest(s, p, eps):
+        q = Zd[s] + Td[p] + eps
+        d2 = zn[None, :] - 2.0 * jnp.dot(
+            q, Zd.T, preferred_element_type=jnp.float32
+        )
+        return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
     triples = np.zeros((0, 3), np.int32)
     while triples.shape[0] < total:
         s = rng.integers(0, n_entities, total).astype(np.int32)
         p = rng.integers(0, n_relations, total).astype(np.int32)
-        q = Z[s] + T[p]
-        if noise > 0.0:
-            q = q + rng.normal(size=q.shape) * noise
         o = np.zeros(total, np.int32)
-        chunk = 8192
+        pad = (-total) % chunk
+        sp = np.concatenate([s, np.zeros(pad, np.int32)])
+        pp = np.concatenate([p, np.zeros(pad, np.int32)])
         for lo in range(0, total, chunk):
-            qc = q[lo : lo + chunk]
-            d2 = zn[None, :] - 2.0 * qc @ Z.T  # + |q|^2, constant per row
-            o[lo : lo + chunk] = np.argmin(d2, axis=1).astype(np.int32)
+            eps = (
+                (rng.normal(size=(chunk, latent_dim)) * noise).astype(np.float32)
+                if noise > 0.0
+                else np.zeros((1, latent_dim), np.float32)
+            )
+            oc = np.asarray(
+                nearest(
+                    jnp.asarray(sp[lo : lo + chunk]),
+                    jnp.asarray(pp[lo : lo + chunk]),
+                    jnp.asarray(eps),
+                )
+            )
+            hi = min(lo + chunk, total)
+            o[lo:hi] = oc[: hi - lo]
         cand = np.stack([s, o, p], axis=1)
         triples = np.concatenate([triples, cand])
         keys = encode_keys_np(triples, n_entities, n_relations)

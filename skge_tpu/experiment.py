@@ -28,6 +28,7 @@ from skge_tpu import sampling
 from skge_tpu.data import (
     Dataset,
     bernoulli_probs,
+    latent_kg,
     load_dataset,
     sorted_train_keys,
     synthetic_kg,
@@ -79,15 +80,22 @@ class Experiment:
         elif args.fin:
             self.ds = load_dataset(args.fin)
         else:
-            self.ds = synthetic_kg(
+            gen = synthetic_kg if args.synthetic_kind == "random" else latent_kg
+            kw = (
+                {"latent_dim": args.latent_dim}
+                if args.synthetic_kind == "latent"
+                else {}
+            )
+            self.ds = gen(
                 n_entities=args.synthetic_entities,
                 n_relations=args.synthetic_relations,
                 n_train=args.synthetic_train,
                 n_valid=max(50, args.synthetic_train // 20),
                 n_test=max(50, args.synthetic_train // 20),
                 seed=args.seed,
+                **kw,
             )
-            log.info("using synthetic KG (no --fin given)")
+            log.info("using %s synthetic KG (no --fin given)", args.synthetic_kind)
         model_cls = MODELS[args.model]
         kw = {}
         if args.model in ("hole", "rescal"):
@@ -245,6 +253,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-entities", type=int, default=500)
     p.add_argument("--synthetic-relations", type=int, default=10)
     p.add_argument("--synthetic-train", type=int, default=5000)
+    p.add_argument("--synthetic-kind", default="random",
+                   choices=["random", "latent"],
+                   help="'latent' = learnable translational-geometry KG "
+                   "(data.latent_kg) for quality experiments")
+    p.add_argument("--latent-dim", type=int, default=32)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p
 

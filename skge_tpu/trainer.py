@@ -28,7 +28,7 @@ from skge_tpu.training import (
     make_epoch_fn,
     make_pairwise_step,
     make_pointwise_step,
-)
+)  # noqa: F401  (StepMetrics used by the mesh epoch)
 from skge_tpu.utils.checkpoint import save_checkpoint
 from skge_tpu.utils.metrics import MetricsLogger, StepTimer
 
@@ -72,11 +72,19 @@ class Trainer:
         config: TrainConfig = TrainConfig(),
         post_epoch: Sequence[Callable] = (),
         optimizer: Optional[Optimizer] = None,
+        mesh=None,
     ):
+        """`mesh`: an optional ('data', 'model') jax Mesh (parallel.make_mesh)
+        — training then runs the explicit-SPMD shard_map step (pairwise) or
+        the GSPMD sharded step (pointwise) with the entity table row-sharded
+        over 'model' and batches over 'data'. The epoch loop shuffles on
+        host (deterministic in config.seed + epoch, but a DIFFERENT
+        trajectory from the single-device scan's on-device permutation)."""
         self.model = model
         self.config = config
         self.sampler = sampler
         self.post_epoch = list(post_epoch)
+        self.mesh = mesh
         self.opt = optimizer or OPTIMIZERS[config.optimizer](
             lr=config.learning_rate
         )
@@ -91,6 +99,9 @@ class Trainer:
     # -- construction of the jitted epoch --
     def _build(self, n_triples: int):
         cfg = self.config
+        if self.mesh is not None:
+            self._epoch_fn = self._build_mesh_epoch(n_triples)
+            return
         if cfg.pairwise:
             step = make_pairwise_step(
                 self.model, self.opt, self.sampler, cfg.margin, cfg.aggregate
@@ -101,6 +112,47 @@ class Trainer:
             )
         nb = min(cfg.nbatches, n_triples)
         self._epoch_fn = jax.jit(make_epoch_fn(step, n_triples, nb))
+
+    def _build_mesh_epoch(self, n_triples: int):
+        from skge_tpu.parallel.mesh import DATA_AXIS
+        from skge_tpu.parallel.sharded import make_sharded_pointwise_step
+        from skge_tpu.parallel.shardmap_step import make_shardmap_pairwise_step
+
+        cfg = self.config
+        if cfg.pairwise:
+            step = make_shardmap_pairwise_step(
+                self.model, self.opt, self.sampler, cfg.margin, self.mesh
+            )
+        else:
+            step = make_sharded_pointwise_step(
+                self.model, self.opt, self.sampler, self.mesh
+            )
+        nb = min(cfg.nbatches, n_triples)
+        d_size = self.mesh.shape[DATA_AXIS]
+        bs = -(-n_triples // nb)
+        bs += (-bs) % d_size  # batch divisible across the data axis
+
+        def epoch(state: TrainState, xs):
+            xs = np.asarray(xs)
+            rng = np.random.default_rng(
+                (cfg.seed, int(jax.device_get(state.step)))
+            )
+            perm = rng.permutation(n_triples)
+            pad = nb * bs - n_triples
+            idx = np.concatenate([perm, np.zeros(pad, np.int64)])
+            mask_all = (np.arange(nb * bs) < n_triples).astype(np.float32)
+            losses, nviols = [], []
+            for b in range(nb):
+                batch = jnp.asarray(xs[idx[b * bs : (b + 1) * bs]])
+                mask = jnp.asarray(mask_all[b * bs : (b + 1) * bs])
+                state, m = step(state, batch, mask)
+                losses.append(m.loss)
+                nviols.append(m.nviolations)
+            return state, StepMetrics(
+                loss=jnp.stack(losses), nviolations=jnp.stack(nviols)
+            )
+
+        return epoch
 
     def fit(
         self,
@@ -115,6 +167,15 @@ class Trainer:
             state = init_state(
                 self.model, self.opt, jax.random.PRNGKey(self.config.seed)
             )
+        if self.mesh is not None:
+            if self.config.pairwise:
+                from skge_tpu.parallel.shardmap_step import shard_state_shardmap
+
+                state = shard_state_shardmap(state, self.model, self.mesh)
+            else:
+                from skge_tpu.parallel.mesh import shard_state
+
+                state = shard_state(state, self.model, self.mesh)
         self.state = state
         xs_dev = jnp.asarray(xs)
         timer = StepTimer()

@@ -149,6 +149,37 @@ def test_shardmap_step_matches_single_device(case, mesh_shape):
                 )
 
 
+def test_trainer_with_mesh_trains_and_checkpoints(tmp_path):
+    """High-level Trainer on an 8-device mesh: runs, reduces violations,
+    writes a loadable full-state checkpoint."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from skge_tpu import RandomModeSampler
+    from skge_tpu.data import synthetic_kg
+    from skge_tpu.trainer import TrainConfig, Trainer
+    from skge_tpu.utils.checkpoint import load_checkpoint
+
+    ds = synthetic_kg(64, 4, n_train=600, seed=9)
+    model = TransE(ds.n_entities, ds.n_relations, ncomp=16)
+    mesh = make_mesh(jax.devices()[:8], shape=(4, 2))
+    path = str(tmp_path / "mesh.npz")
+    trainer = Trainer(
+        model,
+        RandomModeSampler(ds.n_entities),
+        TrainConfig(max_epochs=8, nbatches=5, margin=0.5, seed=2,
+                    checkpoint_path=path),
+        mesh=mesh,
+    )
+    trainer.fit(ds.train)
+    first = trainer.metrics.history[0]["nviolations"]
+    last = trainer.metrics.history[-1]["nviolations"]
+    assert last < first, (first, last)
+    restored, meta = load_checkpoint(path)
+    assert meta["epoch"] == 8
+    assert restored.params["E"].shape == (64, 16)
+    assert int(restored.step) == 8 * 5
+
+
 def test_shardmap_rejects_indivisible_entity_count():
     model = TransE(N_E + 1, N_R, D)  # 25 not divisible by model axis 2
     if len(jax.devices()) < 2:
