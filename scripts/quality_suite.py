@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--ntrain", type=int, default=141442)
     ap.add_argument("--latent-dim", type=int, default=32)
     ap.add_argument("--out", default=None, help="append results to this md file")
+    ap.add_argument("--models", default=None,
+                    help="comma-separated subset, e.g. 'TransE-L1,HolE'")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -72,6 +74,9 @@ def main() -> None:
         ("ER-MLP", ERMLP(ds.n_entities, ds.n_relations, 150, nhidden=10), 1.0),
     ]
 
+    if args.models:
+        want = {m.strip() for m in args.models.split(",")}
+        configs = [c for c in configs if c[0] in want]
     rows = []
     for name, model, margin in configs:
         opt = AdaGrad(lr=0.1)

@@ -48,6 +48,24 @@ class ERMLP(KGEModel):
         h = f(mxu_dot(x, dense["W"]))
         return mxu_dot(h, dense["C"])
 
+    def score_pool(self, rows, pool_rows, dense, mode):
+        """(B, K) pool scores via the concat split: x@W = es@W_s + eo@W_o +
+        rp@W_r, so only the substituted role varies with k — the fixed-role
+        pre-activation is computed once per positive, the pool's once per
+        pool row, and the cross term is a (B, K, nh) broadcast (nh is small)
+        instead of the generic fallback's (K, B, 3d) concat."""
+        f = ACTIVATIONS[self.af][0]
+        d = self.ncomp
+        Ws, Wo, Wr = dense["W"][:d], dense["W"][d:2 * d], dense["W"][2 * d:]
+        if mode == 1:
+            fixed = mxu_dot(rows["es"], Ws) + mxu_dot(rows["rp"], Wr)
+            ppre = mxu_dot(pool_rows, Wo)
+        else:
+            fixed = mxu_dot(rows["eo"], Wo) + mxu_dot(rows["rp"], Wr)
+            ppre = mxu_dot(pool_rows, Ws)
+        h = f(fixed[:, None, :] + ppre[None, :, :])  # (B, K, nh)
+        return mxu_dot(h, dense["C"])
+
     # --- all-entity scoring ---
     def _score_all(self, params: Params, fixed_pre: jnp.ndarray, ent_block: str):
         """fixed_pre: (B, nh) pre-activation from the fixed roles."""
