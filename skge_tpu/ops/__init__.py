@@ -7,6 +7,7 @@ from skge_tpu.ops.aggregate import (
     segment_mean_dense,
     segment_mean_unique,
 )
+from skge_tpu.ops.pallas_segment import segment_sum_pallas
 
 __all__ = [
     "ccorr",
@@ -15,4 +16,5 @@ __all__ = [
     "UniqueGrads",
     "segment_mean_dense",
     "segment_mean_unique",
+    "segment_sum_pallas",
 ]

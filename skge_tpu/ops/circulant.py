@@ -13,6 +13,11 @@ These also provide the adjoint identities used for scoring against ALL
 entities as a single MXU matmul (SURVEY.md §3.4):
     score(s, p, o) = <r_p, ccorr(e_s, e_o)> = <e_o, cconv(e_s, r_p)>
                                             = <e_s, ccorr(r_p, e_o)>
+
+Decision record (v5e, d=150, B=4832): a DFT-as-matmul formulation (7 real
+(B,d)x(d,d) matmuls riding the MXU) was measured against XLA's FFT —
+1.0 ms for both at 'highest' matmul precision (exact), 0.27 absolute error
+at default bf16 precision. No win, extra code, so the rfft path stays.
 """
 
 from __future__ import annotations
