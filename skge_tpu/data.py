@@ -301,6 +301,118 @@ def latent_kg(
 
 
 # ---------------------------------------------------------------------------
+# Edge partitioning (SURVEY.md §5 "long-context equivalent"): assign entities
+# to P parts and triples to their subject's part so most row lookups in a
+# partition-aligned distributed step are shard-local; the remainder is the
+# "boundary" exchanged over ICI (parallel/partitioned.py).
+# ---------------------------------------------------------------------------
+
+def greedy_entity_partition(
+    triples: np.ndarray, n_entities: int, n_parts: int, seed: int = 0
+) -> np.ndarray:
+    """Degree-descending greedy entity->part assignment (METIS-lite).
+
+    Entities are placed, highest degree first, on the part where they have
+    the most already-placed neighbors, subject to a +-12.5% balance cap on
+    assigned DEGREE (so every part sees a similar number of triple
+    endpoints). Beats hash partitioning on graphs with community structure
+    (DGL-KE uses full METIS for the same purpose, arXiv:2004.08532 §3.2);
+    on structureless graphs it degrades to balanced random. Pure NumPy +
+    one Python pass over entities — fine up to millions of edges.
+
+    Returns (n_entities,) int32 part ids.
+    """
+    t = np.asarray(triples)
+    deg = np.bincount(t[:, 0], minlength=n_entities) + np.bincount(
+        t[:, 1], minlength=n_entities
+    )
+    # adjacency in CSR form over the undirected entity graph
+    src = np.concatenate([t[:, 0], t[:, 1]])
+    dst = np.concatenate([t[:, 1], t[:, 0]])
+    order_e = np.argsort(src, kind="stable")
+    src, dst = src[order_e], dst[order_e]
+    starts = np.searchsorted(src, np.arange(n_entities))
+    ends = np.searchsorted(src, np.arange(n_entities) + 1)
+
+    part = np.full(n_entities, -1, np.int32)
+    load = np.zeros(n_parts, np.int64)
+    cap = max(1.0, deg.sum() / n_parts * 1.125)
+    for e in np.argsort(-deg, kind="stable"):
+        nbr_parts = part[dst[starts[e] : ends[e]]]
+        nbr_parts = nbr_parts[nbr_parts >= 0]
+        open_parts = load + deg[e] <= cap
+        if not open_parts.any():
+            open_parts[:] = True  # all full: fall back to least-loaded
+        score = np.zeros(n_parts, np.int64)
+        if nbr_parts.size:
+            np.add.at(score, nbr_parts, 1)
+        score = np.where(open_parts, score, -1)
+        best = score.max()
+        cands = np.flatnonzero(score == best)
+        p = cands[np.argmin(load[cands])] if cands.size > 1 else cands[0]
+        part[e] = p
+        load[p] += deg[e]
+
+    # local refinement (Kernighan-Lin flavored): move entities to their
+    # neighbor-majority part when it strictly reduces cut edges and keeps
+    # the degree balance; high-degree hubs were placed blind in the greedy
+    # pass, so a couple of sweeps recover a lot of locality
+    for _ in range(3):
+        moved = 0
+        for e in range(n_entities):
+            nbrs = part[dst[starts[e] : ends[e]]]
+            if nbrs.size == 0:
+                continue
+            tally = np.bincount(nbrs, minlength=n_parts)
+            p_new = int(np.argmax(tally))
+            p_old = part[e]
+            if p_new == p_old or tally[p_new] <= tally[p_old]:
+                continue
+            if load[p_new] + deg[e] > cap:
+                continue
+            part[e] = p_new
+            load[p_old] -= deg[e]
+            load[p_new] += deg[e]
+            moved += 1
+        if moved == 0:
+            break
+    return part
+
+
+def partition_edges(
+    triples: np.ndarray, entity_part: np.ndarray, n_parts: int
+):
+    """Group triples by their SUBJECT's part, padded to equal length.
+
+    Returns (batches, mask, stats): batches (P, L, 3) int32 with each part's
+    triples padded by repeating its first row; mask (P, L) float32 zeroing
+    the padding; stats dict with per-part counts and the locality fractions
+    (subject-local is 1.0 by construction; object-local is what the
+    boundary exchange must cover the complement of).
+    """
+    t = np.asarray(triples, np.int32)
+    owner = entity_part[t[:, 0]]
+    counts = np.bincount(owner, minlength=n_parts)
+    length = int(counts.max())
+    batches = np.zeros((n_parts, length, 3), np.int32)
+    mask = np.zeros((n_parts, length), np.float32)
+    for p in range(n_parts):
+        rows = t[owner == p]
+        if rows.shape[0] == 0:
+            continue
+        batches[p, : rows.shape[0]] = rows
+        batches[p, rows.shape[0] :] = rows[0]
+        mask[p, : rows.shape[0]] = 1.0
+    obj_local = float(np.mean(entity_part[t[:, 1]] == owner))
+    stats = {
+        "counts": counts,
+        "balance": float(counts.min() / max(1, counts.max())),
+        "object_locality": obj_local,
+    }
+    return batches, mask, stats
+
+
+# ---------------------------------------------------------------------------
 # Index building (host-side, NumPy)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,266 @@
+"""Partition-aligned SPMD training: edge partitioning + boundary-row
+exchange over a 1-D 'shard' mesh (SURVEY.md §5 "long-context equivalent").
+
+The shardmap_step module scales MEMORY (entity table split over 'model')
+by replicating each batch across the model group — compute duplicates M
+ways. This module instead aligns DATA and MODEL on one axis: entities are
+partitioned (data.greedy_entity_partition), relabeled so each part owns a
+contiguous row range (relabel_entities), and each shard trains on exactly
+the triples whose SUBJECT it owns (data.partition_edges). Consequences:
+
+- subject rows are always shard-local — zero communication;
+- object / corruption rows are fetched with a request-response exchange:
+  the (L,) object ids are all_gathered (tiny), every shard answers with
+  its owned rows zero-filled elsewhere, and one psum('shard') assembles
+  them — O(P*L*d) over ICI, no replicated compute, no full-table
+  allgather. With a community-structured graph most object rows are also
+  local; a future compaction (static boundary cap, exchange only the
+  non-local remainder) multiplies this by (1 - object_locality);
+- the shared negative pool is identical on every shard, so pool rows
+  assemble with a single psum('shard') of owned rows — O(K*d);
+- entity gradients scatter into a full-size local table and one
+  `psum_scatter('shard')` both reduces across shards and leaves each
+  shard exactly its owned slice — O(n_e*d) per step, one ICI pass
+  (the full-size transient bounds this path to tables that fit one
+  device's HBM; the billion-row regime needs the compacted exchange).
+
+Distributed math is EXACTLY the single-device update (tests/
+test_partitioned.py): same duplicate-occurrence averaging, violation
+filtering, AdaGrad + normless1 semantics as everywhere else.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from skge_tpu.models.base import KGEModel
+from skge_tpu.optim import Optimizer
+from skge_tpu.ops.aggregate import DenseGrads
+from skge_tpu.training import (
+    StepMetrics,
+    TrainState,
+    pairwise_grads_fused,
+    pairwise_grads_shared,
+)
+
+SHARD_AXIS = "shard"
+
+
+def make_shard_mesh(devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (SHARD_AXIS,))
+
+
+def relabel_entities(
+    triples: np.ndarray, entity_part: np.ndarray, n_parts: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Renumber entities so part p owns the contiguous rows [p*S, (p+1)*S).
+
+    S = max part size; smaller parts leave unused padding rows (embedding
+    row count is free). Returns (relabeled_triples, new_of_old, n_padded).
+    """
+    entity_part = np.asarray(entity_part)
+    n_e = entity_part.shape[0]
+    sizes = np.bincount(entity_part, minlength=n_parts)
+    s = int(sizes.max())
+    order = np.argsort(entity_part, kind="stable")
+    within = np.arange(n_e) - np.concatenate(
+        [[0], np.cumsum(sizes)]
+    )[entity_part[order]]
+    new_of_old = np.empty(n_e, np.int64)
+    new_of_old[order] = entity_part[order].astype(np.int64) * s + within
+    t = np.asarray(triples)
+    out = np.stack(
+        [new_of_old[t[:, 0]], new_of_old[t[:, 1]], t[:, 2]], axis=1
+    ).astype(np.int32)
+    return out, new_of_old, n_parts * s
+
+
+def make_partitioned_pairwise_step(
+    model: KGEModel,
+    opt: Optimizer,
+    sampler: Callable,
+    margin: float,
+    mesh: Mesh,
+):
+    """Jitted partition-aligned pairwise step.
+
+    Inputs: state placed by `shard_state_partitioned`; `batches` (P, L, 3)
+    and `mask` (P, L) from data.partition_edges on RELABELED triples —
+    shard p receives row p. Requires model.n_entities == P * S (use
+    relabel_entities' n_padded). Supports the `pool` and `corruptions`
+    sampler protocols.
+    """
+    by_role = {role: pname for _, pname, role in model.slot_spec()}
+    epname = by_role["s"]
+    assert epname == by_role["o"]
+    p_size = mesh.shape[SHARD_AXIS]
+    n_e = model.n_entities
+    if n_e % p_size != 0:
+        raise ValueError(
+            f"n_entities={n_e} must be {p_size}*S — relabel with "
+            "relabel_entities and build the model with its n_padded"
+        )
+    s_rows = n_e // p_size
+    shared = hasattr(sampler, "pool")
+
+    specs = {}
+    for _, pname, role in model.slot_spec():
+        specs[pname] = P(SHARD_AXIS) if pname == epname else P()
+    for pname in model.dense_param_names:
+        specs[pname] = P()
+    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
+    state_spec = TrainState(
+        params=dict(specs),
+        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
+        key=P(),
+        step=P(),
+    )
+
+    def local_step(state: TrainState, batch, mask):
+        batch = batch[0]  # (1, L, 3) -> (L, 3)
+        mask = mask[0]
+        params = state.params
+        me = jax.lax.axis_index(SHARD_AXIS)
+        row_off = me * s_rows
+
+        def local_rows(idx):
+            """Owned rows for arbitrary global ids, zeros elsewhere."""
+            local = idx - row_off
+            own = jnp.logical_and(local >= 0, local < s_rows)
+            rows = params[epname][jnp.clip(local, 0, s_rows - 1)]
+            return jnp.where(
+                own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
+            )
+
+        def gather(pname, idx):
+            if pname != epname:
+                return params[pname][idx]
+            # subject ids are local by construction, but corruption ids are
+            # not — resolve ownership generically: local part + exchange.
+            # Identical-ids case (pool / same idx on all shards) would need
+            # only the psum; differing ids need the request exchange.
+            all_ids = jax.lax.all_gather(idx, SHARD_AXIS)       # (P, T)
+            answers = local_rows(all_ids.reshape(-1))           # (P*T, d)
+            answers = jax.lax.psum(answers, SHARD_AXIS)
+            return answers.reshape(all_ids.shape + answers.shape[1:])[me]
+
+        def gather_replicated(pname, idx):
+            """Cheaper path when ids are identical on every shard (pool)."""
+            if pname != epname:
+                return params[pname][idx]
+            return jax.lax.psum(local_rows(idx), SHARD_AXIS)
+
+        key, sk = jax.random.split(state.key)
+        dk = jax.random.fold_in(sk, me)
+        if shared:
+            # pool drawn from the UNFOLDED key: identical across shards
+            pool_idx = sampler.pool(sk, batch, mask)
+
+            def g(pname, idx):
+                if idx is pool_idx:
+                    return gather_replicated(pname, idx)
+                return gather(pname, idx)
+
+            loss, nviol, occ, g_dense = pairwise_grads_shared(
+                model, params, batch, pool_idx, mask, margin,
+                modes=sampler.modes, gather=g,
+            )
+        else:
+            corr = sampler.corruptions(dk, batch, mask)
+            loss, nviol, occ, g_dense = pairwise_grads_fused(
+                model, params, batch, corr, mask, margin, gather=gather
+            )
+
+        loss = jax.lax.psum(loss, SHARD_AXIS)
+        nviol_local = nviol
+        nviol = jax.lax.psum(nviol, SHARD_AXIS)
+
+        new_params = dict(params)
+        new_opt = dict(state.opt_state)
+        reg = model.regularization
+        for pname, (idx, grads, counts) in occ.items():
+            t = idx.shape[0]
+            aug = jnp.concatenate(
+                [grads.reshape(t, -1), counts.astype(grads.dtype)[:, None]],
+                axis=1,
+            )
+            if pname == epname:
+                full = jnp.zeros((n_e, aug.shape[1]), grads.dtype).at[
+                    idx
+                ].add(aug, mode="drop")
+                table = jax.lax.psum_scatter(
+                    full, SHARD_AXIS, scatter_dimension=0, tiled=True
+                )  # (S, F+1): reduced AND sliced to the owned rows
+            else:
+                table = jnp.zeros(
+                    (model.num_rows(pname), aug.shape[1]), grads.dtype
+                ).at[idx].add(aug, mode="drop")
+                table = jax.lax.psum(table, SHARD_AXIS)
+            count = table[:, -1]
+            feat = grads.shape[1:]
+            gsum = table[:, :-1].reshape((table.shape[0],) + feat)
+            gavg = gsum / jnp.maximum(count, 1.0).reshape(
+                (-1,) + (1,) * len(feat)
+            )
+            if reg != 0.0 and pname in model.reg_row_params:
+                gavg = gavg + reg * new_params[pname]
+            dg = DenseGrads(grads=gavg, count=count)
+            new_params[pname], new_opt[pname] = opt.apply_dense_masked(
+                new_params[pname], new_opt[pname], dg,
+                model.post_constraints.get(pname),
+            )
+        for pname, g_d in g_dense.items():
+            gsum = jax.lax.psum(
+                g_d * jnp.maximum(nviol_local, 1.0), SHARD_AXIS
+            )
+            new_params[pname], new_opt[pname] = opt.apply_full(
+                new_params[pname], new_opt[pname],
+                gsum / jnp.maximum(nviol, 1.0),
+            )
+        new_state = TrainState(new_params, new_opt, key, state.step + 1)
+        return new_state, StepMetrics(loss=loss, nviolations=nviol)
+
+    smapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
+        out_specs=(state_spec, StepMetrics(loss=P(), nviolations=P())),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
+def shard_state_partitioned(
+    state: TrainState, model: KGEModel, mesh: Mesh
+) -> TrainState:
+    """Place a TrainState for the partitioned step (E over 'shard')."""
+    by_role = {role: pname for _, pname, role in model.slot_spec()}
+    epname = by_role["s"]
+    specs = {}
+    for _, pname, role in model.slot_spec():
+        specs[pname] = P(SHARD_AXIS) if pname == epname else P()
+    for pname in model.dense_param_names:
+        specs[pname] = P()
+
+    def put(spec_tree, tree):
+        return jax.tree.map(
+            lambda s, v: jax.device_put(v, NamedSharding(mesh, s)),
+            spec_tree, tree,
+        )
+
+    return TrainState(
+        params=put({k: specs[k] for k in state.params}, state.params),
+        opt_state=put(
+            {k: {kk: specs[k] for kk in state.opt_state[k]}
+             for k in state.opt_state},
+            state.opt_state,
+        ),
+        key=jax.device_put(state.key, NamedSharding(mesh, P())),
+        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+    )

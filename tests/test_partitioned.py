@@ -1,0 +1,157 @@
+"""Partition-aligned SPMD step: edge partitioning, relabeling, and exact
+distributed/single-device equivalence of the boundary-exchange math."""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from skge_tpu import AdaGrad, HolE, TransE, init_state, training  # noqa: E402
+from skge_tpu.data import (  # noqa: E402
+    greedy_entity_partition,
+    partition_edges,
+    synthetic_kg,
+)
+from skge_tpu.parallel.partitioned import (  # noqa: E402
+    SHARD_AXIS,
+    make_partitioned_pairwise_step,
+    make_shard_mesh,
+    relabel_entities,
+    shard_state_partitioned,
+)
+
+P_PARTS = 4
+
+
+class FixedPool:
+    modes = (0, 1)
+
+    def __init__(self, pool):
+        self._pool = pool
+
+    def pool(self, key, pos, mask):
+        return self._pool
+
+
+class FixedCorruptions:
+    """Per-shard slices of global (P, L) replacement tables."""
+
+    def __init__(self, repls):
+        self._repls = repls  # [(mode, (P, L) array)]
+
+    def corruptions(self, key, pos, mask):
+        out = []
+        for m, r in self._repls:
+            if r.ndim == 2:  # inside shard_map: take this shard's row
+                r = r[jax.lax.axis_index(SHARD_AXIS)]
+            out.append((m, r, mask))
+        return out
+
+
+def test_partition_and_relabel_roundtrip():
+    ds = synthetic_kg(97, 6, n_train=900, seed=13, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    assert part.shape == (ds.n_entities,)
+    assert part.min() >= 0 and part.max() < P_PARTS
+    rel, new_of_old, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    assert n_pad % P_PARTS == 0
+    s = n_pad // P_PARTS
+    # ownership is contiguous: new id // S == part of old id
+    for old in range(ds.n_entities):
+        assert new_of_old[old] // s == part[old]
+    # relabeled triples reference the same entities
+    assert rel.shape == ds.train.shape
+    batches, mask, stats = partition_edges(rel, _range_part(n_pad, s), P_PARTS)
+    assert batches.shape[0] == P_PARTS
+    assert int(mask.sum()) == ds.train.shape[0]
+    assert 0.0 < stats["balance"] <= 1.0
+
+
+def _range_part(n_pad, s):
+    return (np.arange(n_pad) // s).astype(np.int32)
+
+
+def test_greedy_partition_beats_hash_on_clustered_graph():
+    ds = synthetic_kg(400, 8, n_train=6000, seed=3, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    _, _, greedy = partition_edges(rel, _range_part(n_pad, s), P_PARTS)
+    hash_part = (np.arange(ds.n_entities) * 2654435761 % P_PARTS).astype(np.int32)
+    relh, _, n_pad_h = relabel_entities(ds.train, hash_part, P_PARTS)
+    sh = n_pad_h // P_PARTS
+    _, _, hashed = partition_edges(relh, _range_part(n_pad_h, sh), P_PARTS)
+    assert greedy["object_locality"] > hashed["object_locality"] + 0.1, (
+        greedy, hashed,
+    )
+
+
+@pytest.mark.parametrize("case", ["transe", "hole"])
+def test_partitioned_step_matches_single_device(case):
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(61, 5, n_train=400, seed=7, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    batches, mask, _ = partition_edges(rel, _range_part(n_pad, s), P_PARTS)
+    batches = jnp.asarray(batches)
+    mask = jnp.asarray(mask, jnp.float64)
+
+    if case == "transe":
+        model = TransE(n_pad, ds.n_relations, 16, dtype="float64")
+    else:
+        model = HolE(n_pad, ds.n_relations, 16, dtype="float64", rparam=0.01)
+    opt = AdaGrad(lr=0.1)
+    margin = 0.7
+    rng = np.random.default_rng(11)
+    L = batches.shape[1]
+
+    samplers = [
+        FixedPool(jnp.asarray(rng.integers(0, n_pad, 7), jnp.int32)),
+        FixedCorruptions([
+            (0, jnp.asarray(rng.integers(0, n_pad, (P_PARTS, L)), jnp.int32)),
+            (1, jnp.asarray(rng.integers(0, n_pad, (P_PARTS, L)), jnp.int32)),
+        ]),
+    ]
+    flat_batch = batches.reshape(-1, 3)
+    flat_mask = mask.reshape(-1)
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    for sampler in samplers:
+        # single-device reference over the concatenated shard batches
+        ref = init_state(model, opt, jax.random.PRNGKey(4))
+        for _ in range(3):
+            if hasattr(sampler, "pool"):
+                loss, nviol, occ, g_dense = training.pairwise_grads_shared(
+                    model, ref.params, flat_batch, sampler._pool,
+                    flat_mask, margin,
+                )
+            else:
+                corr = [
+                    (m, r.reshape(-1), flat_mask) for m, r in sampler._repls
+                ]
+                loss, nviol, occ, g_dense = training.pairwise_grads_fused(
+                    model, ref.params, flat_batch, corr, flat_mask, margin
+                )
+            p_new, o_new = training.apply_gradients(
+                model, opt, ref.params, ref.opt_state, occ, g_dense,
+                "dense", premasked=True,
+            )
+            ref = training.TrainState(p_new, o_new, ref.key, ref.step + 1)
+
+        step = make_partitioned_pairwise_step(model, opt, sampler, margin, mesh)
+        state = shard_state_partitioned(
+            init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+        )
+        for _ in range(3):
+            state, m = step(state, batches, mask)
+        assert int(m.nviolations) == int(nviol)
+        for k in ref.params:
+            np.testing.assert_allclose(
+                np.asarray(state.params[k]), np.asarray(ref.params[k]),
+                rtol=1e-9, atol=1e-12, err_msg=f"{case} param {k}",
+            )
