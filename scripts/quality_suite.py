@@ -95,31 +95,24 @@ def main() -> None:
         t_train = time.perf_counter() - t0
         ev = FilteredRankingEval(model, ds.test, ds.all_triples(), batch_size=1024)
         r = ev(state.params)
-        rows.append({
+        row = {
             "model": name, "epochs": args.epochs,
             "train_s": round(t_train, 1),
             "mrr": round(r.mrr, 4), "mrr_raw": round(r.mrr_raw, 4),
             "hits1": round(r.hits[1], 3), "hits3": round(r.hits[3], 3),
             "hits10": round(r.hits[10], 3), "mr": round(r.mean_rank, 1),
-        })
-        print(json.dumps(rows[-1]), flush=True)
-
-    if args.out:
-        with open(args.out, "a") as f:
-            f.write(
-                f"\n## Quality suite — WN18-shaped latent KG "
-                f"({args.entities} entities / {args.relations} relations / "
-                f"{args.ntrain} train), shared pool k={args.k}, "
-                f"{args.epochs} epochs, TPU v5e 1 chip\n\n"
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        if args.out:  # append incrementally so timeouts lose nothing
+            header = (
+                f"| {name} k={args.k} ep={args.epochs} | {row['mrr']} | "
+                f"{row['mrr_raw']} | {row['hits1']} | {row['hits3']} | "
+                f"{row['hits10']} | {row['mr']} | {row['train_s']} |\n"
             )
-            f.write("| Model | filt MRR | raw MRR | H@1 | H@3 | H@10 | MR | train s |\n")
-            f.write("|---|---|---|---|---|---|---|---|\n")
-            for r in rows:
-                f.write(
-                    f"| {r['model']} | {r['mrr']} | {r['mrr_raw']} | "
-                    f"{r['hits1']} | {r['hits3']} | {r['hits10']} | "
-                    f"{r['mr']} | {r['train_s']} |\n"
-                )
+            with open(args.out, "a") as f:
+                f.write(header)
+    if args.out:
         print(f"appended to {args.out}")
 
 

@@ -123,10 +123,35 @@ def segment_mean_dense(
         # wide rows (e.g. RESCAL's (d, d) relation slices): the fused count
         # channel would materialize a full (T, F+1) concat copy that costs
         # more than the second scatter it saves — measured 1.85x slower at
-        # (4832, 10000) on v5e. Scatter grads and counts separately.
-        gsum = jnp.zeros((num_rows, flat.shape[1]), g.dtype).at[indices].add(
-            flat, mode="drop"
-        ).reshape((num_rows,) + feat_shape)
+        # (4832, 10000) on v5e. Scatter grads and counts separately; the
+        # pallas kernel amortizes its per-row loop over the many lane tiles
+        # of a wide row, so this is where it beats XLA hardest.
+        if backend == "pallas":
+            from skge_tpu.ops.pallas_segment import (
+                fits_in_vmem, segment_sum_pallas,
+            )
+
+            if flat.dtype == jnp.float32 and fits_in_vmem(
+                num_rows, flat.shape[1], chunk=1024
+            ):
+                # smaller chunks keep the (chunk, tile) input buffers lean
+                # so the column tile — which amortizes the per-row loop —
+                # can stay wide
+                gsum = segment_sum_pallas(
+                    indices, flat, num_rows, chunk=1024
+                ).reshape((num_rows,) + feat_shape)
+            else:
+                gsum = jnp.zeros(
+                    (num_rows, flat.shape[1]), g.dtype
+                ).at[indices].add(flat, mode="drop").reshape(
+                    (num_rows,) + feat_shape
+                )
+        else:
+            gsum = jnp.zeros(
+                (num_rows, flat.shape[1]), g.dtype
+            ).at[indices].add(flat, mode="drop").reshape(
+                (num_rows,) + feat_shape
+            )
         count = jnp.zeros((num_rows,), g.dtype).at[indices].add(
             mask.astype(g.dtype), mode="drop"
         )

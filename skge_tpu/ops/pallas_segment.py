@@ -48,16 +48,32 @@ def _padded_bytes(rows: int, cols: int) -> int:
     return rows * lanes * 4
 
 
+def _col_tile(num_rows: int, feat: int, chunk: int) -> int:
+    """Largest feature tile (lane multiple) fitting the VMEM budget.
+
+    Wide rows (RESCAL's d*d relation slices) are processed in column tiles:
+    the accumulator, output block and double-buffered input chunks for ONE
+    tile must fit; per-row loop cost amortizes over tile lanes, which is
+    exactly where this kernel beats XLA hardest (XLA's row-scatter pays its
+    per-row overhead regardless of width).
+    """
+    feat_pad = -(-feat // _LANE) * _LANE
+    # acc + out + double-buffered input chunks, with 25% headroom for the
+    # pipeline's extra buffers (Mosaic's accounting exceeds the naive sum)
+    denom = 4 * (2 * num_rows + _SPARE_ROWS + 2 * chunk)
+    tile = int(_VMEM_BUDGET * 0.75) // denom // _LANE * _LANE
+    return int(min(feat_pad, max(_LANE, tile)))
+
+
 def fits_in_vmem(num_rows: int, feat: int, chunk: int = 4096) -> bool:
-    """Whether the accumulator + pipeline buffers fit the VMEM budget."""
-    acc = _padded_bytes(num_rows + _SPARE_ROWS, feat)
-    out = _padded_bytes(num_rows, feat)
-    bufs = 2 * _padded_bytes(chunk, feat)
-    return acc + out + bufs < _VMEM_BUDGET
+    """Whether the accumulator + pipeline buffers fit at SOME column tile."""
+    return _padded_bytes(
+        2 * num_rows + _SPARE_ROWS + 2 * chunk, _LANE
+    ) < _VMEM_BUDGET
 
 
 def _kernel(idx_ref, g_ref, out_ref, acc_ref, *, num_rows: int, chunk: int):
-    step = pl.program_id(0)
+    step = pl.program_id(1)  # chunk index (innermost); col tile is dim 0
 
     @pl.when(step == 0)
     def _():
@@ -75,7 +91,7 @@ def _kernel(idx_ref, g_ref, out_ref, acc_ref, *, num_rows: int, chunk: int):
 
     jax.lax.fori_loop(0, chunk // _UNROLL, body, 0)
 
-    @pl.when(step == pl.num_programs(0) - 1)
+    @pl.when(step == pl.num_programs(1) - 1)
     def _():
         out_ref[:] = acc_ref[pl.ds(0, num_rows), :]
 
@@ -93,11 +109,16 @@ def segment_sum_pallas(
     """Sum `grads` rows into a (num_rows, D) table by `indices`.
 
     Semantics match `jnp.zeros((num_rows, D)).at[indices].add(grads,
-    mode="drop")` up to fp32 accumulation order. `interpret=True` runs the
-    kernel in the Pallas interpreter (CPU tests).
+    mode="drop")` up to fp32 accumulation order. Arbitrary D: wide rows are
+    swept in VMEM-sized column tiles (grid dim 0). `interpret=True` runs
+    the kernel in the Pallas interpreter (CPU tests).
     """
     if grads.dtype != jnp.float32:
         raise TypeError(f"segment_sum_pallas is fp32-only, got {grads.dtype}")
+    if chunk % 1024:
+        raise ValueError(
+            f"chunk must be a multiple of 1024 (SMEM 1-D tiling), got {chunk}"
+        )
     t, d = grads.shape
     indices = indices.astype(jnp.int32)
     pad = (-t) % chunk
@@ -106,23 +127,30 @@ def segment_sum_pallas(
             [indices, jnp.full((pad,), num_rows, jnp.int32)]
         )
         grads = jnp.concatenate([grads, jnp.zeros((pad, d), grads.dtype)])
+    tile = _col_tile(num_rows, d, chunk)
+    dpad = (-d) % tile
+    if dpad:
+        grads = jnp.pad(grads, ((0, 0), (0, dpad)))
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, num_rows=num_rows, chunk=chunk),
-        grid=((t + pad) // chunk,),
+        grid=((d + dpad) // tile, (t + pad) // chunk),
         in_specs=[
-            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk,), lambda c, i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (chunk, tile), lambda c, i: (i, c), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (num_rows, d), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (num_rows, tile), lambda c, i: (0, c), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((num_rows, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_rows, d + dpad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((num_rows + _SPARE_ROWS, d), jnp.float32)
+            pltpu.VMEM((num_rows + _SPARE_ROWS, tile), jnp.float32)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET
         ),
         interpret=interpret,
     )(indices, grads)
+    return out[:, :d] if dpad else out

@@ -36,7 +36,7 @@ def test_segment_sum_drops_out_of_range():
     idx[1::7] = r + 3  # arbitrary out-of-range
     g = jnp.asarray(rng.normal(size=(t, d)), jnp.float32)
     jidx = jnp.asarray(idx, jnp.int32)
-    out = segment_sum_pallas(jidx, g, r, chunk=256, interpret=True)
+    out = segment_sum_pallas(jidx, g, r, chunk=1024, interpret=True)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(xla_ref(jidx, g, r)), rtol=1e-5, atol=1e-5
     )
@@ -99,3 +99,19 @@ def test_dense_pallas_aggregate_matches_dense():
             np.asarray(outs["dense_pallas"][k]),
             rtol=1e-6, atol=1e-7,
         )
+
+
+def test_segment_sum_wide_rows_col_tiled(monkeypatch):
+    """Column-tiled wide-row path (forced tiny budget) matches XLA."""
+    from skge_tpu.ops import pallas_segment as ps
+
+    rng = np.random.default_rng(4)
+    t, r, d = 300, 17, 520  # d spans several forced col tiles
+    idx = jnp.asarray(rng.integers(0, r + 2, t), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(t, d)), jnp.float32)
+    monkeypatch.setattr(ps, "_VMEM_BUDGET", 1 << 20)  # ~1MB: forces tiling
+    assert ps._col_tile(r, d, 1024) < 640  # < padded d => multiple col tiles
+    out = ps.segment_sum_pallas(idx, g, r, chunk=1024, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(xla_ref(idx, g, r)), rtol=1e-5, atol=1e-5
+    )
