@@ -97,6 +97,14 @@ class KGEModel:
 
     sz convention matches the reference: (n_entities, n_entities,
     n_relations) — SURVEY.md §1.
+
+    `compute_dtype` (default: same as `dtype`) sets the MXU input precision
+    for the batched scoring matmuls (pool/all-entity sweeps): parameters
+    and the optimizer stay in `dtype`, only the dot inputs are cast, and
+    accumulation is always >= fp32. 'bfloat16' trades ~3 decimal digits of
+    score precision for single-pass MXU throughput (fp32 matmuls run as
+    3-pass bf16x3 on TPU) — an opt-in production mode; parity tests use the
+    exact default.
     """
 
     n_entities: int
@@ -104,6 +112,7 @@ class KGEModel:
     ncomp: int
     dtype: str = "float32"
     init: str = "nunif"
+    compute_dtype: str = ""
 
     # --- static metadata (plain class attributes — deliberately
     # un-annotated so the dataclass machinery does not treat them as
@@ -137,6 +146,18 @@ class KGEModel:
     @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
+
+    def mxu(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Scoring matmul in `compute_dtype` with >= fp32 accumulation,
+        cast back to the parameter dtype."""
+        if not self.compute_dtype or self.compute_dtype == self.dtype:
+            return mxu_dot(a, b)
+        cd = jnp.dtype(self.compute_dtype)
+        out = jnp.dot(
+            a.astype(cd), b.astype(cd),
+            preferred_element_type=acc_dtype(a),
+        )
+        return out.astype(a.dtype)
 
     # --- interface ---
     def slot_spec(self) -> SlotSpec:

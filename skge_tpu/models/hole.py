@@ -59,12 +59,12 @@ class HolE(KGEModel):
             if mode == 1
             else ccorr(rows["rp"], rows["eo"])
         )
-        return mxu_dot(q, pool_rows.T)
+        return self.mxu(q, pool_rows.T)
 
     def score_all_o(self, params: Params, s, p):
         q = cconv(params["E"][s], params["R"][p])  # (B, d)
-        return mxu_dot(q, params["E"].T)
+        return self.mxu(q, params["E"].T)
 
     def score_all_s(self, params: Params, o, p):
         q = ccorr(params["R"][p], params["E"][o])  # (B, d)
-        return mxu_dot(q, params["E"].T)
+        return self.mxu(q, params["E"].T)

@@ -62,7 +62,7 @@ class RESCAL(KGEModel):
                 "bij,bj->bi", rows["wp"], rows["eo"],
                 preferred_element_type=acc_dtype(rows["eo"]),
             )
-        return mxu_dot(q, pool_rows.T)
+        return self.mxu(q, pool_rows.T)
 
     def score_all_o(self, params: Params, s, p):
         q = jnp.einsum(
@@ -71,7 +71,7 @@ class RESCAL(KGEModel):
             params["W"][p],
             preferred_element_type=acc_dtype(params["E"]),
         )
-        return mxu_dot(q, params["E"].T)
+        return self.mxu(q, params["E"].T)
 
     def score_all_s(self, params: Params, o, p):
         q = jnp.einsum(
@@ -80,4 +80,4 @@ class RESCAL(KGEModel):
             params["E"][o],
             preferred_element_type=acc_dtype(params["E"]),
         )
-        return mxu_dot(q, params["E"].T)
+        return self.mxu(q, params["E"].T)

@@ -54,7 +54,7 @@ class TransE(KGEModel):
             # ||q + s*e||^2 = |q|^2 + 2 s q.e + |e|^2 -> one MXU matmul.
             qn = jnp.sum(q * q, axis=-1, keepdims=True)
             en = jnp.sum(E * E, axis=-1)[None, :]
-            cross = 2.0 * sign * mxu_dot(q, E.T)
+            cross = 2.0 * sign * self.mxu(q, E.T)
             return -(qn + cross + en)
         # L1: chunk over entities to bound the (B, chunk, d) broadcast.
         chunk = max(1, min(E.shape[0], 4096))
@@ -85,7 +85,7 @@ class TransE(KGEModel):
         if not self.l1:
             qn = jnp.sum(q * q, axis=-1, keepdims=True)
             pn = jnp.sum(pool_rows * pool_rows, axis=-1)[None, :]
-            return -(qn - 2.0 * mxu_dot(q, pool_rows.T) + pn)
+            return -(qn - 2.0 * self.mxu(q, pool_rows.T) + pn)
         k = pool_rows.shape[0]
         chunk = max(1, min(k, 512))
         pad = (-k) % chunk

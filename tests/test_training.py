@@ -145,6 +145,45 @@ def test_shared_pool_generalizes_on_latent_kg():
     assert mrr["shared"] > 0.7 * mrr["iid"], mrr
 
 
+def test_bf16_compute_dtype_scores_close_and_trains(ds):
+    """compute_dtype='bfloat16' (opt-in MXU mode): pool scores within bf16
+    tolerance of the fp32 path, parameters stay fp32, training converges."""
+    from skge_tpu import SharedNegativeSampler
+
+    kw = dict(n_entities=ds.n_entities, n_relations=ds.n_relations, ncomp=32)
+    exact = HolE(**kw)
+    fast = HolE(**kw, compute_dtype="bfloat16")
+    state = init_state(exact, AdaGrad(), jax.random.PRNGKey(0))
+    rows = exact.gather_rows(
+        state.params,
+        jnp.arange(16) % ds.n_entities,
+        (jnp.arange(16) * 3) % ds.n_entities,
+        jnp.arange(16) % ds.n_relations,
+    )
+    pool = state.params["E"][jnp.arange(12)]
+    a = exact.score_pool(rows, pool, {}, 1)
+    b = fast.score_pool(rows, pool, {}, 1)
+    assert b.dtype == a.dtype  # cast back to the param dtype
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.03)
+
+    opt = AdaGrad(lr=0.1)
+    step = make_pairwise_step(
+        fast, opt, SharedNegativeSampler(ds.n_entities, k=32), margin=0.2
+    )
+    st = init_state(fast, opt, jax.random.PRNGKey(1))
+    assert st.params["E"].dtype == jnp.float32
+    xs = jnp.asarray(ds.train)
+    epoch = jax.jit(make_epoch_fn(step, ds.train.shape[0], nbatches=10))
+    first = last = None
+    for _ in range(15):
+        st, m = epoch(st, xs)
+        v = int(jnp.sum(m.nviolations))
+        first = v if first is None else first
+        last = v
+    assert st.params["E"].dtype == jnp.float32
+    assert last < 0.7 * first, (first, last)
+
+
 def test_hole_pointwise_training_loss_decreases(ds):
     model = HolE(ds.n_entities, ds.n_relations, ncomp=24)
     opt = AdaGrad(lr=0.1)
