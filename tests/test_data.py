@@ -1,0 +1,57 @@
+"""Data layer: reference pickle round-trip, CLI --fin path, latent capacity."""
+
+import numpy as np
+import pytest
+
+from skge_tpu.data import Dataset, latent_kg, load_dataset, save_dataset, synthetic_kg
+
+
+def test_reference_pickle_roundtrip(tmp_path):
+    ds = synthetic_kg(50, 4, n_train=200, n_valid=20, n_test=20, seed=1)
+    path = str(tmp_path / "kg.bin")
+    save_dataset(ds, path)
+    back = load_dataset(path)
+    np.testing.assert_array_equal(back.train, ds.train)
+    np.testing.assert_array_equal(back.valid, ds.valid)
+    np.testing.assert_array_equal(back.test, ds.test)
+    assert back.n_entities == ds.n_entities
+    assert back.n_relations == ds.n_relations
+
+
+def test_reference_pickle_format_fields(tmp_path):
+    """The written pickle has the companion harness's exact schema
+    (SURVEY.md §2.2): train/valid/test_subs as (s, o, p) tuple lists plus
+    entities/relations vocab lists."""
+    import pickle
+
+    ds = synthetic_kg(30, 3, n_train=100, seed=2)
+    path = str(tmp_path / "kg.bin")
+    save_dataset(ds, path)
+    with open(path, "rb") as f:
+        raw = pickle.load(f)
+    assert set(raw) >= {
+        "train_subs", "valid_subs", "test_subs", "entities", "relations",
+    }
+    assert isinstance(raw["train_subs"][0], tuple)
+    assert len(raw["train_subs"][0]) == 3
+    assert len(raw["entities"]) == 30
+    assert len(raw["relations"]) == 3
+
+
+def test_experiment_cli_fin_roundtrip(tmp_path):
+    """End-to-end: write a reference pickle, train + eval via the CLI."""
+    from skge_tpu.experiment import main
+
+    ds = synthetic_kg(60, 4, n_train=400, n_valid=40, n_test=40, seed=3)
+    path = str(tmp_path / "kg.bin")
+    save_dataset(ds, path)
+    rc = main([
+        "--cpu", "--fin", path, "--model", "transe", "--ncomp", "16",
+        "--me", "2", "--nb", "8", "--test-all", "0", "--mode", "rank",
+    ])
+    assert rc == 0
+
+
+def test_latent_kg_capacity_guard():
+    with pytest.raises(ValueError, match="unique noise-free"):
+        latent_kg(n_entities=10, n_relations=2, n_train=100)
