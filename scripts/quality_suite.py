@@ -64,22 +64,29 @@ def main() -> None:
     )
     print(f"  built in {time.perf_counter() - t0:.0f}s", flush=True)
     xs = jnp.asarray(ds.train)
-    sampler = SharedNegativeSampler(ds.n_entities, k=args.k)
 
+    # (name, model, margin, lr, k or None=args.k). HolE's sigmoid score
+    # transform caps the gradient prefactor at 0.25 and AdaGrad's accumulator
+    # then freezes the run at the reference's lr=0.1 under the shared-pool
+    # loss; very large pools (k=8192) additionally destabilize it (nearly
+    # every pool pair violates a sigmoid margin early on, so the pool term
+    # swamps the positives). Sweep on the real chip: margin 0.5 / lr 0.3 /
+    # k 2048 measured ~8x better MRR than the reference hyperparams here.
     configs = [
-        ("TransE-L1", TransE(ds.n_entities, ds.n_relations, 150), 2.0),
-        ("TransE-L2", TransE(ds.n_entities, ds.n_relations, 150, l1=False), 1.0),
-        ("HolE", HolE(ds.n_entities, ds.n_relations, 150, rparam=0.0), 0.2),
-        ("RESCAL", RESCAL(ds.n_entities, ds.n_relations, 100, rparam=0.01), 1.0),
-        ("ER-MLP", ERMLP(ds.n_entities, ds.n_relations, 150, nhidden=10), 1.0),
+        ("TransE-L1", TransE(ds.n_entities, ds.n_relations, 150), 2.0, 0.1, None),
+        ("TransE-L2", TransE(ds.n_entities, ds.n_relations, 150, l1=False), 1.0, 0.1, None),
+        ("HolE", HolE(ds.n_entities, ds.n_relations, 150, rparam=0.0), 0.5, 0.3, 2048),
+        ("RESCAL", RESCAL(ds.n_entities, ds.n_relations, 100, rparam=0.01), 1.0, 0.1, None),
+        ("ER-MLP", ERMLP(ds.n_entities, ds.n_relations, 150, nhidden=10), 1.0, 0.1, None),
     ]
 
     if args.models:
         want = {m.strip() for m in args.models.split(",")}
         configs = [c for c in configs if c[0] in want]
     rows = []
-    for name, model, margin in configs:
-        opt = AdaGrad(lr=0.1)
+    for name, model, margin, lr, k in configs:
+        sampler = SharedNegativeSampler(ds.n_entities, k=k or args.k)
+        opt = AdaGrad(lr=lr)
         step = make_pairwise_step(
             model, opt, sampler, margin=margin, aggregate="dense"
         )
@@ -106,7 +113,7 @@ def main() -> None:
         print(json.dumps(row), flush=True)
         if args.out:  # append incrementally so timeouts lose nothing
             header = (
-                f"| {name} k={args.k} ep={args.epochs} | {row['mrr']} | "
+                f"| {name} k={k or args.k} ep={args.epochs} | {row['mrr']} | "
                 f"{row['mrr_raw']} | {row['hits1']} | {row['hits3']} | "
                 f"{row['hits10']} | {row['mr']} | {row['train_s']} |\n"
             )
