@@ -27,6 +27,10 @@ class RESCAL(KGEModel):
 
     name = "rescal"
     reg_row_params = ("E", "W")
+    # shared-pool W cotangents are rank-1 per pair: training dispatches to
+    # the hand-derived factored gradient path (training.py
+    # pairwise_grads_shared_bilinear + ops/pallas_outer.py)
+    factored_pool_grads = True
 
     def slot_spec(self):
         return (("es", "E", "s"), ("eo", "E", "o"), ("wp", "W", "p"))

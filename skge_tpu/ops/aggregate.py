@@ -22,7 +22,7 @@ matches the reference's "filter violations first, then average" order.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,31 @@ class DenseGrads(NamedTuple):
     """
 
     grads: jnp.ndarray
+    count: jnp.ndarray
+
+
+class FactoredOcc(NamedTuple):
+    """Occurrence list whose per-occurrence gradients are LOW-RANK sums of
+    outer products `sum_f us[f][t] (x) vs[f][t]` of a matrix-valued
+    parameter row (RESCAL's W: rank 2 — `es (x) dq + dr (x) eo`).
+
+    Stored factored so aggregation never materializes the (T, d, d)
+    per-occurrence tensor: the pallas kernel (ops/pallas_outer.py)
+    accumulates all rank terms into the VMEM-resident table in ONE dynamic
+    read-modify-write per occurrence, and the XLA fallback materializes the
+    summed outer only inside the fused scatter.
+
+    idx:    (T,) int row ids (>= num_rows = dropped padding).
+    us, vs: tuples of (T, d) left/right factors, one pair per rank term.
+            Grads are PREMASKED (violation-weighted sums), as in
+            training.pairwise_grads_shared.
+    count:  (T,) structural occurrence counts for the duplicate-index
+            averaging.
+    """
+
+    idx: jnp.ndarray
+    us: Tuple[jnp.ndarray, ...]
+    vs: Tuple[jnp.ndarray, ...]
     count: jnp.ndarray
 
 
@@ -93,6 +118,47 @@ def segment_mean_unique(
     gsum = jax.ops.segment_sum(g, inv, num_segments=t)
     gavg = gsum / _bmask(jnp.maximum(count, 1.0), gsum.ndim)
     return UniqueGrads(uidx=uidx, grads=gavg, count=count)
+
+
+def segment_outer_mean_dense(
+    occ: FactoredOcc,
+    num_rows: int,
+    backend: str = "xla",
+) -> DenseGrads:
+    """`segment_mean_dense` for factored rank-1 occurrence gradients.
+
+    Sums `u[t] (x) v[t]` into the (num_rows, d, d) table by `occ.idx` and
+    divides by the summed occurrence counts. backend='pallas' streams the
+    factors through the VMEM-resident outer-product kernel — the (T, d, d)
+    intermediate never exists; 'xla' materializes the outers inside one
+    fused scatter-add (CPU / SPMD / doesn't-fit-VMEM fallback).
+    """
+    t, d = occ.us[0].shape
+    dt = occ.us[0].dtype
+    if backend == "pallas":
+        from skge_tpu.ops.pallas_outer import (
+            fits_in_vmem_outer, segment_outer_sum_pallas,
+        )
+
+        if dt == jnp.float32 and fits_in_vmem_outer(num_rows, d):
+            gsum = segment_outer_sum_pallas(occ.idx, occ.us, occ.vs, num_rows)
+        else:
+            backend = "xla"
+    if backend == "xla":
+        outers = sum(
+            u[:, :, None] * v[:, None, :] for u, v in zip(occ.us, occ.vs)
+        ).reshape(t, -1)
+        gsum = (
+            jnp.zeros((num_rows, d * d), dt)
+            .at[occ.idx]
+            .add(outers, mode="drop")
+            .reshape(num_rows, d, d)
+        )
+    count = jnp.zeros((num_rows,), dt).at[occ.idx].add(
+        occ.count.astype(dt), mode="drop"
+    )
+    gavg = gsum / _bmask(jnp.maximum(count, 1.0), gsum.ndim)
+    return DenseGrads(grads=gavg, count=count)
 
 
 def segment_mean_dense(

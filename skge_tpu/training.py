@@ -36,8 +36,10 @@ import jax.numpy as jnp
 from skge_tpu.models.base import ACTIVATIONS, KGEModel, Params
 from skge_tpu.ops.aggregate import (
     DenseGrads,
+    FactoredOcc,
     segment_mean_dense,
     segment_mean_unique,
+    segment_outer_mean_dense,
 )
 from skge_tpu.optim import Optimizer, OptState
 
@@ -367,6 +369,106 @@ def pairwise_grads_shared(
     return loss, nviol, occ, g_dense
 
 
+def pairwise_grads_shared_bilinear(
+    model: KGEModel,
+    params: Params,
+    pos: jnp.ndarray,        # (B, 3) positives
+    pool_idx: jnp.ndarray,   # (K,) shared negative entity ids
+    mask: jnp.ndarray,       # (B,) batch validity
+    margin: float,
+    modes: Tuple[int, ...] = (0, 1),
+    gather: Optional[Callable] = None,
+):
+    """RESCAL shared-pool gradients with the W cotangent kept FACTORED.
+
+    Mathematically identical to `pairwise_grads_shared` (pinned in
+    tests/test_factored.py), but hand-derived so the (B, d, d) per-pair W
+    gradient never materializes — it is provably rank-2 per triple:
+
+        score(s, e, p) = q_b . e   with  q_b = e_s W_p       (object pool)
+        score(e, o, p) = r_b . e   with  r_b = W_p e_o       (subject pool)
+        =>  dL/dW_{p_b} = e_s (x) dL/dq_b  +  dL/dr_b (x) e_o
+
+    so W's occurrence gradients are returned as a `FactoredOcc` of (u, v)
+    factor pairs and scattered by `segment_outer_mean_dense` (pallas VMEM
+    kernel on TPU). At FB15k shapes this removes ~390 MB/step of HBM
+    traffic (the autodiff path writes the (B, d, d) outer products in the
+    backward pass and immediately re-reads them in the scatter).
+
+    The reference computes these same aggregated outer products per unique
+    relation in skge/rescal.py `_pairwise_gradients` (~90); here the
+    per-pair violation filtering, duplicate-occurrence AVERAGING, and raw
+    (linear) margin test are preserved exactly.
+    """
+    assert model.pairwise_af == "linear", "factored path assumes raw scores"
+    s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
+    if gather is None:
+        gather = lambda pname, idx: params[pname][idx]  # noqa: E731
+    acc = jnp.promote_types(params["E"].dtype, jnp.float32)
+    es = gather("E", s)
+    eo = gather("E", o)
+    wp = gather("W", p)
+    pool = gather("E", pool_idx)  # (K, d)
+
+    q = jnp.einsum("bi,bij->bj", es, wp, preferred_element_type=acc)
+    r = jnp.einsum("bij,bj->bi", wp, eo, preferred_element_type=acc)
+    gp = jnp.sum(q * eo, axis=-1)  # (B,)
+
+    loss = jnp.zeros((), acc)
+    m_by_mode = {}
+    fm_colsum = jnp.zeros((pool.shape[0],), acc)
+    dq = jnp.zeros_like(q)
+    dr = jnp.zeros_like(r)
+    dpool = jnp.zeros_like(pool)
+    for mode in modes:
+        query = q if mode == 1 else r
+        gn = model.mxu(query, pool.T)  # (B, K)
+        fm = jnp.logical_and(
+            gn + margin > gp[:, None], (mask > 0)[:, None]
+        ).astype(acc)
+        loss = loss + jnp.sum(fm * (margin + gn - gp[:, None]))
+        m_by_mode[mode] = jnp.sum(fm, axis=1)  # (B,)
+        fm_colsum = fm_colsum + jnp.sum(fm, axis=0)
+        # dL/dgn[b,k] = fm  =>  d(query)_b += fm_b @ pool ; dpool_k += fm^T query
+        dquery = jnp.dot(fm, pool, preferred_element_type=acc)
+        dpool = dpool + jnp.dot(fm.T, query, preferred_element_type=acc)
+        if mode == 1:
+            dq = dq + dquery
+        else:
+            dr = dr + dquery
+    m_total = sum(m_by_mode.values())
+    nviol = jnp.sum(m_total)
+    # dL/dgp_b = -(violations of b)  through gp = q . eo
+    dq = dq - m_total[:, None] * eo
+    deo_direct = -m_total[:, None] * q
+
+    des = jnp.einsum("bij,bj->bi", wp, dq, preferred_element_type=acc)
+    deo = deo_direct + jnp.einsum(
+        "bij,bi->bj", wp, dr, preferred_element_type=acc
+    )
+
+    # occurrence counts — identical to pairwise_grads_shared
+    cnt_s = sum(
+        mm * (1.0 if mode == 0 else 2.0) for mode, mm in m_by_mode.items()
+    )
+    cnt_o = sum(
+        mm * (1.0 if mode == 1 else 2.0) for mode, mm in m_by_mode.items()
+    )
+    occ = {
+        "E": (
+            jnp.concatenate([s, o, pool_idx]),
+            jnp.concatenate([des, deo, dpool]),
+            jnp.concatenate([cnt_s, cnt_o, fm_colsum]),
+        ),
+        # rank-2 factored entry per positive (2 occurrences per violating
+        # pair: the relation row sits in both triples of a pair)
+        "W": FactoredOcc(
+            idx=p, us=(es, dr), vs=(dq, eo), count=2.0 * m_total
+        ),
+    }
+    return loss, nviol, occ, {}
+
+
 def pointwise_grads_shared(
     model: KGEModel,
     params: Params,
@@ -479,6 +581,27 @@ def apply_gradients(
             params[pname], opt_state[pname], dg,
             model.post_constraints.get(pname),
         )
+
+    # factored rank-1 entries (RESCAL W): dense aggregation via the outer-
+    # product scatter (pallas on TPU); the unique path materializes the
+    # outers batch-locally (CPU/test sizes only).
+    factored = {
+        p: f for p, f in occ.items() if isinstance(f, FactoredOcc)
+    }
+    occ = {p: o for p, o in occ.items() if p not in factored}
+    for pname, f in factored.items():
+        if aggregate == "dense":
+            apply_dense_grads(
+                pname,
+                segment_outer_mean_dense(
+                    f, model.num_rows(pname), backend=backend
+                ),
+            )
+        else:
+            outers = sum(
+                u[:, :, None] * v[:, None, :] for u, v in zip(f.us, f.vs)
+            )
+            occ[pname] = (f.idx, outers, f.count)
 
     if aggregate == "unique":
         for pname, (idx, g, m) in occ.items():
@@ -604,10 +727,19 @@ def make_pairwise_step(
     the shared-negative-pool path instead (pairwise_grads_shared).
     """
     if fused and hasattr(sampler, "pool"):
+        # models whose pool-pair W-gradient is rank-1 (RESCAL) get the
+        # hand-derived factored path: no (B, d, d) cotangent materialization
+        grads_fn = (
+            pairwise_grads_shared_bilinear
+            if getattr(model, "factored_pool_grads", False)
+            and model.pairwise_af == "linear"
+            else pairwise_grads_shared
+        )
+
         def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
             key, sk = jax.random.split(state.key)
             pool_idx = sampler.pool(sk, batch, mask)
-            loss, nviol, occ, g_dense = pairwise_grads_shared(
+            loss, nviol, occ, g_dense = grads_fn(
                 model, state.params, batch, pool_idx, mask, margin,
                 modes=sampler.modes,
             )
