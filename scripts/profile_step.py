@@ -60,9 +60,11 @@ def main() -> None:
         init_state, make_epoch_fn,
     )
     from skge_tpu.data import synthetic_kg
+    from skge_tpu.ops.aggregate import FactoredOcc
     from skge_tpu.training import (
         StepMetrics, TrainState, apply_gradients,
         pairwise_grads_fused, pairwise_grads_shared,
+        pairwise_grads_shared_bilinear,
     )
 
     ds = synthetic_kg(args.entities, args.relations, args.ntrain,
@@ -81,8 +83,15 @@ def main() -> None:
 
     def grads_of(state, batch, mask, sk):
         if shared:
+            # same dispatch as training.make_pairwise_step
+            shared_fn = (
+                pairwise_grads_shared_bilinear
+                if getattr(model, "factored_pool_grads", False)
+                and model.pairwise_af == "linear"
+                else pairwise_grads_shared
+            )
             pool = sampler.pool(sk, batch, mask)
-            return pairwise_grads_shared(
+            return shared_fn(
                 model, state.params, batch, pool, mask, 1.0,
                 modes=sampler.modes,
             )
@@ -110,7 +119,14 @@ def main() -> None:
                 )
             loss, nviol, occ, g_dense = grads_of(state, batch, mask, sk)
             if phase == "grads":
-                loss = loss + sum(jnp.sum(g) for _, g, _ in occ.values())
+                probe = 0.0
+                for entry in occ.values():
+                    if isinstance(entry, FactoredOcc):
+                        probe += sum(jnp.sum(u) for u in entry.us)
+                        probe += sum(jnp.sum(v) for v in entry.vs)
+                    else:
+                        probe += jnp.sum(entry[1])
+                loss = loss + probe
                 return (
                     TrainState(state.params, state.opt_state, key,
                                state.step + 1),

@@ -550,6 +550,83 @@ def pointwise_grads_shared(
     return loss, occ, g_dense
 
 
+def pointwise_grads_shared_bilinear(
+    model: KGEModel,
+    params: Params,
+    pos: jnp.ndarray,        # (B, 3) positives
+    pool_idx: jnp.ndarray,   # (K,) shared negative entity ids
+    mask: jnp.ndarray,       # (B,) batch validity
+    modes: Tuple[int, ...] = (0, 1),
+    gather: Optional[Callable] = None,
+):
+    """RESCAL shared-pool POINTWISE gradients, W cotangent factored.
+
+    Same contract as `pointwise_grads_shared` (logistic loss over positives
+    plus every (positive, pool, mode) corruption; duplicate-occurrence
+    averaged; pinned in tests/test_factored.py) via the same bilinear
+    algebra as `pairwise_grads_shared_bilinear`:
+
+        dL/df_pos = -sigmoid(-f_pos) * mask          (y = +1)
+        dL/df_neg =  sigmoid(f_neg) * mask           (y = -1)
+        dW_{p_b}  = e_s (x) dq_b + dr_b (x) e_o
+    """
+    s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
+    if gather is None:
+        gather = lambda pname, idx: params[pname][idx]  # noqa: E731
+    acc = jnp.promote_types(params["E"].dtype, jnp.float32)
+    es = gather("E", s)
+    eo = gather("E", o)
+    wp = gather("W", p)
+    pool = gather("E", pool_idx)  # (K, d)
+    k = pool_idx.shape[0]
+
+    q = jnp.einsum("bi,bij->bj", es, wp, preferred_element_type=acc)
+    r = jnp.einsum("bij,bj->bi", wp, eo, preferred_element_type=acc)
+    f_pos = jnp.sum(q * eo, axis=-1)
+
+    loss = jnp.sum(jnp.logaddexp(0.0, -f_pos) * mask)
+    c_pos = -jax.nn.sigmoid(-f_pos) * mask  # (B,)
+    dq = c_pos[:, None] * eo
+    dr = jnp.zeros_like(r)
+    dpool = jnp.zeros_like(pool)
+    for mode in modes:
+        query = q if mode == 1 else r
+        f_neg = model.mxu(query, pool.T)  # (B, K)
+        loss = loss + jnp.sum(jnp.logaddexp(0.0, f_neg) * mask[:, None])
+        c_neg = jax.nn.sigmoid(f_neg) * mask[:, None]
+        dquery = jnp.dot(c_neg, pool, preferred_element_type=acc)
+        dpool = dpool + jnp.dot(c_neg.T, query, preferred_element_type=acc)
+        if mode == 1:
+            dq = dq + dquery
+        else:
+            dr = dr + dquery
+
+    des = jnp.einsum("bij,bj->bi", wp, dq, preferred_element_type=acc)
+    deo = c_pos[:, None] * q + jnp.einsum(
+        "bij,bi->bj", wp, dr, preferred_element_type=acc
+    )
+
+    n_other = {0: sum(1 for m in modes if m != 0),
+               1: sum(1 for m in modes if m != 1)}
+    occ = {
+        "E": (
+            jnp.concatenate([s, o, pool_idx]),
+            jnp.concatenate([des, deo, dpool]),
+            jnp.concatenate([
+                (1.0 + k * n_other[0]) * mask,
+                (1.0 + k * n_other[1]) * mask,
+                jnp.full((k,), float(len(modes)), mask.dtype)
+                * jnp.sum(mask),
+            ]),
+        ),
+        "W": FactoredOcc(
+            idx=p, us=(es, dr), vs=(dq, eo),
+            count=(1.0 + k * len(modes)) * mask,
+        ),
+    }
+    return loss, occ, {}
+
+
 # ---------------------------------------------------------------------------
 # Updates
 # ---------------------------------------------------------------------------
@@ -791,10 +868,16 @@ def make_pointwise_step(
     the shared-pool logistic path (pointwise_grads_shared).
     """
     if hasattr(sampler, "pool"):
+        grads_fn = (
+            pointwise_grads_shared_bilinear
+            if getattr(model, "factored_pool_grads", False)
+            else pointwise_grads_shared
+        )
+
         def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
             key, sk = jax.random.split(state.key)
             pool_idx = sampler.pool(sk, batch, mask)
-            loss, occ, g_dense = pointwise_grads_shared(
+            loss, occ, g_dense = grads_fn(
                 model, state.params, batch, pool_idx, mask,
                 modes=sampler.modes,
             )

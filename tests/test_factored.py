@@ -167,6 +167,56 @@ def test_step_dispatches_to_factored(monkeypatch):
     assert np.isfinite(float(m.loss))
 
 
+@pytest.mark.parametrize("aggregate", ["unique", "dense"])
+def test_factored_pointwise_matches_oracle(aggregate):
+    """Logistic loss over the (positives + all pool corruptions) expansion,
+    via the factored bilinear path."""
+    model = CASES["rescal"][0]()
+    prm = make_params(model.name)
+    oracle = CASES["rescal"][1](prm)
+    pos = make_batch(seed=41)
+    rng = np.random.default_rng(42)
+    pool = rng.integers(0, N_E, K)
+    mask = np.ones(B)
+    mask[::4] = 0.0
+    keep = [b for b in range(B) if mask[b] > 0]
+
+    xys = [(tuple(map(int, pos[b])), 1.0) for b in keep]
+    for mode in (0, 1):
+        for k in range(K):
+            for b in keep:
+                neg = pos[b].copy()
+                neg[mode] = pool[k]
+                xys.append((tuple(map(int, neg)), -1.0))
+    grads, _ = oracle.gradients(xys)
+    want_prm, want_p2 = oracle_apply(
+        grads, {k: v.copy() for k, v in prm.items()}, model
+    )
+
+    opt = AdaGrad(lr=LR)
+    jprm = to_jax(prm)
+    ost = opt.init(jprm)
+    loss, occ, g_dense = training.pointwise_grads_shared_bilinear(
+        model, jprm, jnp.asarray(pos), jnp.asarray(pool), jnp.asarray(mask)
+    )
+    gloss, _, _ = training.pointwise_grads_shared(
+        model, jprm, jnp.asarray(pos), jnp.asarray(pool), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(float(loss), float(gloss), rtol=1e-12)
+    new_prm, new_ost = training.apply_gradients(
+        model, opt, jprm, ost, occ, g_dense, aggregate, premasked=True
+    )
+    for k in prm:
+        np.testing.assert_allclose(
+            np.asarray(new_prm[k]), want_prm[k], rtol=1e-9, atol=1e-11,
+            err_msg=f"param {k}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_ost[k]["p2"]), want_p2[k], rtol=1e-9, atol=1e-11,
+            err_msg=f"p2 {k}",
+        )
+
+
 @pytest.mark.parametrize("rank", [1, 2])
 def test_outer_kernel_interpret_matches_xla(rank):
     from skge_tpu.ops.pallas_outer import segment_outer_sum_pallas
