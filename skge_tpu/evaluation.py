@@ -72,8 +72,21 @@ def ranking_scores(
     )
 
 
-def _rank_kernel(model: KGEModel, direction: str):
-    """Jitted per-batch kernel: (params, batch, frows, fents) -> raw/filt ranks."""
+def _rank_kernel(model: KGEModel, direction: str, mesh=None, axis="model"):
+    """Jitted per-batch kernel: (params, batch, frows, fents) -> raw/filt ranks.
+
+    With a `mesh`, the (B, n_e) score matrix is sharded over candidate
+    ENTITIES on the mesh's `axis` (the same axis the entity table is
+    row-sharded on by parallel.shard_state): every device scores only its
+    slice of the entity vocabulary and the per-row strictly-greater counts
+    reduce across shards — SURVEY.md §3.4's "on TPU this becomes a sharded
+    matmul". The filter scatter and the rank reduction stay inside the same
+    jitted program, so GSPMD keeps them on the column shards.
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        col_sharded = NamedSharding(mesh, PartitionSpec(None, axis))
 
     def kernel(params, batch, frows, fents):
         s, o, p = batch[:, 0], batch[:, 1], batch[:, 2]
@@ -83,6 +96,8 @@ def _rank_kernel(model: KGEModel, direction: str):
         else:
             scores = model.score_all_s(params, o, p)
             target = s
+        if mesh is not None:
+            scores = jax.lax.with_sharding_constraint(scores, col_sharded)
         b = scores.shape[0]
         tgt = scores[jnp.arange(b), target]
         raw = 1 + jnp.sum(scores > tgt[:, None], axis=1)
@@ -132,6 +147,8 @@ class FilteredRankingEval:
         known: np.ndarray,
         batch_size: int = 1024,
         hits_at: Sequence[int] = (1, 3, 10),
+        mesh=None,
+        axis: str = "model",
     ):
         self.model = model
         self.hits_at = tuple(hits_at)
@@ -140,8 +157,8 @@ class FilteredRankingEval:
         sp_o, op_s = true_triple_index(np.asarray(known))
         self._index = {"o": sp_o, "s": op_s}
         self._kernels = {
-            "o": _rank_kernel(model, "o"),
-            "s": _rank_kernel(model, "s"),
+            "o": _rank_kernel(model, "o", mesh, axis),
+            "s": _rank_kernel(model, "s", mesh, axis),
         }
 
         # batch layout: pad the last batch by repeating row 0 (masked out)

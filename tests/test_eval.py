@@ -105,3 +105,30 @@ def test_filtered_beats_raw():
     res = ev(params)
     assert np.all(res.ranks <= res.ranks_raw)
     assert res.mrr >= res.mrr_raw
+
+
+def test_sharded_eval_matches_unsharded():
+    """FilteredRankingEval with a mesh (entity-column-sharded score matrix,
+    row-sharded E placement) returns EXACTLY the single-device ranks."""
+    from skge_tpu.models import TransE
+    from skge_tpu.parallel import make_mesh, shard_state
+    from skge_tpu import AdaGrad, init_state
+
+    ds = synthetic_kg(n_entities=96, n_relations=5, n_train=600,
+                      n_test=50, seed=3)
+    model = TransE(ds.n_entities, ds.n_relations, 16, dtype="float64")
+    opt = AdaGrad()
+    state = init_state(model, opt, jax.random.PRNGKey(1))
+
+    base = FilteredRankingEval(model, ds.test, ds.all_triples(),
+                               batch_size=16)
+    want = base(state.params)
+
+    mesh = make_mesh(jax.devices()[:8], shape=(4, 2))
+    sstate = shard_state(state, model, mesh)
+    ev = FilteredRankingEval(model, ds.test, ds.all_triples(),
+                             batch_size=16, mesh=mesh)
+    got = ev(sstate.params)
+    np.testing.assert_array_equal(got.ranks, want.ranks)
+    np.testing.assert_array_equal(got.ranks_raw, want.ranks_raw)
+    assert got.mrr == want.mrr
