@@ -61,6 +61,26 @@ def test_lcwa_sampler_avoids_train_set(ds):
     assert v.mean() > 0.95  # rejection rarely exhausts 100 tries here
 
 
+def test_lcwa_sampler_masks_exhausted_tries():
+    """When every candidate collides with a known-true triple, the pair is
+    masked out — the reference's ntries giveup (skge/sample.py ~60)."""
+    import itertools
+
+    n_e, n_r = 3, 2
+    all_triples = np.asarray(
+        [(s, o, p) for s, o, p in itertools.product(range(n_e), range(n_e), range(n_r))],
+        np.int32,
+    )
+    keys = jnp.sort(jnp.asarray(
+        (all_triples[:, 0].astype(np.int64) * n_e + all_triples[:, 1]) * n_r
+        + all_triples[:, 2]
+    ))
+    s = LCWASampler(n_e, n_r, keys, ntries=50)
+    pos = jnp.asarray(all_triples[:5])
+    _, _, valid = s(jax.random.PRNGKey(0), pos, jnp.ones(5))
+    assert not np.asarray(valid).any()
+
+
 def test_bernoulli_sampler_mode_probabilities(ds):
     probs = bernoulli_probs(ds.train, ds.n_relations)
     s = BernoulliSampler(ds.n_entities, jnp.asarray(probs))
