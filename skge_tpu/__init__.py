@@ -20,6 +20,7 @@ from skge_tpu.sampling import (
     RandomModeSampler,
     SharedNegativeSampler,
 )
+from skge_tpu.outofcore import OutOfCoreTrainer
 from skge_tpu.training import (
     TrainState,
     init_state,
@@ -40,6 +41,7 @@ __all__ = [
     "AdaGrad",
     "SGD",
     "OPTIMIZERS",
+    "OutOfCoreTrainer",
     "RandomModeSampler",
     "LCWASampler",
     "BernoulliSampler",
