@@ -41,7 +41,7 @@ from skge_tpu.data import greedy_entity_partition
 from skge_tpu.models.base import KGEModel, Params
 from skge_tpu.optim import Optimizer
 from skge_tpu.parallel.partitioned import relabel_entities
-from skge_tpu.training import StepMetrics, TrainState, make_epoch_fn, make_pairwise_step
+from skge_tpu.training import StepMetrics, TrainState, make_pairwise_step
 
 
 @dataclass(frozen=True, eq=False)
@@ -54,20 +54,77 @@ class BucketPoolSampler:
     Draws land uniformly on the union of REAL rows — never on the padding
     rows of either slot (the reference corrupts with randint over real
     entities only, skge/sample.py ~35).
+
+    The part sizes are DYNAMIC (read from the batch's masked sentinel last
+    row — see make_bucket_epoch) so one compiled program serves every
+    bucket of the same diagonal/off-diagonal kind regardless of which
+    partitions are resident.
     """
 
-    size_i: int
-    size_j: int
     slot_stride: int  # 0 for diagonal buckets (single slot)
     k: int = 1024
     modes: Tuple[int, ...] = (0, 1)
 
     def pool(self, key: jax.Array, pos: jnp.ndarray, mask: jnp.ndarray):
-        total = self.size_i + (self.size_j if self.slot_stride else 0)
-        u = jax.random.randint(key, (self.k,), 0, total)
+        size_i = pos[-1, 0]
         if not self.slot_stride:
-            return u
-        return jnp.where(u < self.size_i, u, u - self.size_i + self.slot_stride)
+            return jax.random.randint(key, (self.k,), 0, size_i)
+        total = size_i + pos[-1, 1]
+        u = jax.random.randint(key, (self.k,), 0, total)
+        return jnp.where(u < size_i, u, u - size_i + self.slot_stride)
+
+
+def make_bucket_epoch(step_fn, length: int, nbatches: int):
+    """Epoch over ONE bucket's (padded) triple list.
+
+    Identical shuffle/pad/mask/scan structure (and PRNG stream) as
+    `training.make_epoch_fn`, with two out-of-core extensions:
+
+    - an explicit per-row `valid` input (buckets are padded to a COMMON
+      length so every bucket of a kind shares one compiled program);
+    - a masked sentinel row `[size_i, size_j, 0]` appended to every
+      minibatch, carrying the resident parts' REAL row counts to the
+      sampler as dynamic values. Its mask is 0: it contributes exactly
+      0.0 to every loss term, gradient, occurrence count, and AdaGrad
+      accumulator (verified bit-for-bit in tests/test_outofcore.py via
+      the P=1 in-core equality).
+    """
+    batch_size = -(-length // nbatches)
+    padded = nbatches * batch_size
+
+    def epoch(state: TrainState, xs, valid, sizes_row):
+        key, pk = jax.random.split(state.key)
+        state = state._replace(key=key)
+        perm = jax.random.permutation(pk, length)
+        pad_idx = jnp.concatenate(
+            [perm, jnp.zeros((padded - length,), perm.dtype)]
+        )
+        mask_flat = (
+            jnp.arange(padded) < length
+        ).astype(jnp.float32) * valid[pad_idx]
+        batches = xs[pad_idx].reshape(nbatches, batch_size, xs.shape[1])
+        masks = mask_flat.reshape(nbatches, batch_size)
+        batches = jnp.concatenate(
+            [
+                batches,
+                jnp.broadcast_to(sizes_row, (nbatches, 1, 3)).astype(
+                    batches.dtype
+                ),
+            ],
+            axis=1,
+        )
+        masks = jnp.concatenate(
+            [masks, jnp.zeros((nbatches, 1), masks.dtype)], axis=1
+        )
+
+        def body(st, bm):
+            b, m = bm
+            return step_fn(st, b, m)
+
+        state, metrics = jax.lax.scan(body, state, (batches, masks))
+        return state, metrics
+
+    return epoch
 
 
 class OutOfCoreTrainer:
@@ -94,7 +151,9 @@ class OutOfCoreTrainer:
         nbatches: int = 100,
         aggregate: str = "dense",
         seed: int = 0,
+        cache_parts: int = 2,
     ):
+        assert cache_parts >= 2, "off-diagonal buckets need 2 resident parts"
         self.full_model = model
         self.opt = opt
         self.margin = margin
@@ -112,7 +171,9 @@ class OutOfCoreTrainer:
         self.n_parts = n_parts
         self.part_counts = np.bincount(part, minlength=n_parts)
 
-        # bucket (pi, pj) -> triple rows, ids made slot-local lazily
+        # bucket (pi, pj) -> triple rows (global relabeled ids), plus
+        # device-ready slot-local arrays padded to ONE common length so a
+        # single compiled program serves all buckets of a kind
         owner_s = relabeled[:, 0] // s
         owner_o = relabeled[:, 1] // s
         self.buckets: Dict[Tuple[int, int], np.ndarray] = {}
@@ -121,6 +182,26 @@ class OutOfCoreTrainer:
                 rows = relabeled[(owner_s == pi) & (owner_o == pj)]
                 if rows.shape[0]:
                     self.buckets[(pi, pj)] = rows
+        self.bucket_len = max(r.shape[0] for r in self.buckets.values())
+        self._prepared: Dict[Tuple[int, int], tuple] = {}
+        for (pi, pj), rows in self.buckets.items():
+            local = rows.copy()
+            local[:, 0] -= pi * s
+            local[:, 1] -= pj * s
+            if pi != pj:
+                local[:, 1] += s
+            n = local.shape[0]
+            pad = self.bucket_len - n
+            if pad:
+                local = np.concatenate([local, np.tile(local[:1], (pad, 1))])
+            valid = np.zeros(self.bucket_len, np.float32)
+            valid[:n] = 1.0
+            sizes_row = np.asarray(
+                [[self.part_counts[pi], self.part_counts[pj], 0]], np.int32
+            )
+            self._prepared[(pi, pj)] = (
+                jnp.asarray(local), jnp.asarray(valid), jnp.asarray(sizes_row)
+            )
         self.nbatches = nbatches
         self.k = k
 
@@ -139,52 +220,82 @@ class OutOfCoreTrainer:
         self.dev_params = {kk: v for kk, v in params.items() if kk != "E"}
         self.dev_opt = {kk: v for kk, v in ostate.items() if kk != "E"}
         self.key = dev_key
-        self.step = 0
-        self._epochs: Dict[Tuple[int, int, int], callable] = {}
+        self.step = jnp.zeros((), jnp.int32)
+        self.cache_parts = cache_parts
+        self._cache: Dict[int, Dict[str, jnp.ndarray]] = {}
+        self._lru: list = []
+        self._epochs: Dict[Tuple[int, int, int, int], callable] = {}
         self._metrics: list = []
 
-    # -- device program cache: one jitted epoch per (bucket length, diag) --
-    def _epoch_fn(self, n: int, diag: bool, size_i: int, size_j: int):
-        sig = (n, diag, size_i, size_j)
-        if sig not in self._epochs:
+    # -- device program cache: ONE jitted epoch per bucket kind (diagonal /
+    # off-diagonal) — bucket lengths share one padding and part sizes are
+    # dynamic, so P^2 buckets never mean P^2 compilations --
+    def _epoch_fn(self, diag: bool):
+        if diag not in self._epochs:
             resident_rows = self.part_size * (1 if diag else 2)
             bucket_model = replace(self.full_model, n_entities=resident_rows)
             sampler = BucketPoolSampler(
-                size_i=size_i,
-                size_j=size_j,
-                slot_stride=0 if diag else self.part_size,
-                k=self.k,
+                slot_stride=0 if diag else self.part_size, k=self.k
             )
             step = make_pairwise_step(
                 bucket_model, self.opt, sampler, self.margin,
                 aggregate=self.aggregate,
             )
-            nb = max(1, min(self.nbatches, n))
-            self._epochs[sig] = jax.jit(
-                make_epoch_fn(step, n, nb), donate_argnums=(0,)
+            nb = max(1, min(self.nbatches, self.bucket_len))
+            self._epochs[diag] = jax.jit(
+                make_bucket_epoch(step, self.bucket_len, nb),
+                donate_argnums=(0,),
             )
-        return self._epochs[sig]
+        return self._epochs[diag]
 
-    def _bucket_epoch(self, pi: int, pj: int, rows: np.ndarray):
+    # -- device part cache: up to `cache_parts` partitions stay on device
+    # between buckets. The sorted bucket order shares a part between
+    # consecutive buckets, so with a 2-slot cache roughly half the
+    # host->device uploads (and the matching downloads) disappear;
+    # downloads only happen on eviction and at fit()/params() boundaries.
+    def _fetch_part(self, p: int):
+        if p in self._cache:
+            self._lru.remove(p)
+            self._lru.append(p)
+            return self._cache[p]
+        while len(self._cache) >= self.cache_parts:
+            self._evict(self._lru.pop(0))
+        s = self.part_size
+        dev = {
+            kk: jnp.asarray(v[p * s : (p + 1) * s])
+            for kk, v in self.e_host.items()
+        }
+        self._cache[p] = dev
+        self._lru.append(p)
+        return dev
+
+    def _evict(self, p: int) -> None:
+        dev = self._cache.pop(p)
+        s = self.part_size
+        for kk, v in dev.items():
+            self.e_host[kk][p * s : (p + 1) * s] = np.asarray(v)
+
+    def flush(self) -> None:
+        """Write every cached partition back to the host table."""
+        for p in list(self._cache):
+            self._evict(p)
+        self._lru.clear()
+
+    def _bucket_epoch(self, pi: int, pj: int):
         s = self.part_size
         diag = pi == pj
-        # slot-local triple ids
-        local = rows.copy()
-        local[:, 0] -= pi * s
-        local[:, 1] -= pj * s
-        if not diag:
-            local[:, 1] += s
+        local, valid, sizes_row = self._prepared[(pi, pj)]
 
-        # upload resident rows
-        def take(a):
-            blk = a[pi * s : (pi + 1) * s]
-            if diag:
-                return jnp.asarray(blk)
-            return jnp.asarray(
-                np.concatenate([blk, a[pj * s : (pj + 1) * s]])
-            )
-
-        e_dev = {kk: take(v) for kk, v in self.e_host.items()}
+        # resident rows from the device cache (host upload only on miss)
+        di = self._fetch_part(pi)
+        dj = di if diag else self._fetch_part(pj)
+        e_dev = (
+            di
+            if diag
+            else {
+                kk: jnp.concatenate([di[kk], dj[kk]]) for kk in di
+            }
+        )
         params = dict(self.dev_params)
         params["E"] = e_dev["param"]
         ostate = dict(self.dev_opt)
@@ -194,36 +305,31 @@ class OutOfCoreTrainer:
             params=params,
             opt_state=ostate,
             key=self.key,
-            step=jnp.asarray(self.step, jnp.int32),
+            step=self.step,
         )
-        epoch = self._epoch_fn(
-            rows.shape[0], diag,
-            int(self.part_counts[pi]), int(self.part_counts[pj]),
-        )
-        state, m = epoch(state, jnp.asarray(local))
+        epoch = self._epoch_fn(diag)
+        state, m = epoch(state, local, valid, sizes_row)
+        # key/step stay device-resident: no host sync inside the bucket loop
         self.key = state.key
-        self.step = int(state.step)
+        self.step = state.step
 
-        # stream updated rows back; keep device-resident tables on device
-        e_new = np.asarray(state.params["E"])
-        st_new = {kk: np.asarray(v) for kk, v in state.opt_state["E"].items()}
-        def put(host, dev):
-            host[pi * s : (pi + 1) * s] = dev[:s]
-            if not diag:
-                host[pj * s : (pj + 1) * s] = dev[s:]
-        put(self.e_host["param"], e_new)
-        for kk in st_new:
-            put(self.e_host[kk], st_new[kk])
+        # updated rows stay on device (sliced views re-enter the cache)
+        e_new = dict(state.opt_state["E"])
+        e_new["param"] = state.params["E"]
+        if diag:
+            self._cache[pi] = e_new
+        else:
+            self._cache[pi] = {kk: v[:s] for kk, v in e_new.items()}
+            self._cache[pj] = {kk: v[s:] for kk, v in e_new.items()}
         self.dev_params = {
             kk: v for kk, v in state.params.items() if kk != "E"
         }
         self.dev_opt = {
             kk: v for kk, v in state.opt_state.items() if kk != "E"
         }
-        return (
-            float(np.asarray(m.loss).sum()),
-            float(np.asarray(m.nviolations).sum()),
-        )
+        # device scalars; fit() syncs them ONCE per epoch (each host sync is
+        # a full roundtrip on tunneled backends)
+        return jnp.sum(m.loss), jnp.sum(m.nviolations)
 
     def fit(self, epochs: int = 1, verbose: bool = False):
         """Run `epochs` passes; each pass visits every bucket once, ordered
@@ -235,14 +341,19 @@ class OutOfCoreTrainer:
         for ep in range(epochs):
             tot_loss = tot_viol = 0.0
             for (pi, pj) in order:
-                loss, nviol = self._bucket_epoch(pi, pj, self.buckets[(pi, pj)])
-                tot_loss += loss
-                tot_viol += nviol
+                loss, nviol = self._bucket_epoch(pi, pj)
+                tot_loss = tot_loss + loss
+                tot_viol = tot_viol + nviol
             self._metrics.append(
-                {"epoch": ep, "loss": tot_loss, "nviolations": tot_viol}
+                {
+                    "epoch": ep,
+                    "loss": float(np.asarray(tot_loss)),
+                    "nviolations": float(np.asarray(tot_viol)),
+                }
             )
             if verbose:
                 print(self._metrics[-1], flush=True)
+        self.flush()
         return self
 
     @property
@@ -251,6 +362,7 @@ class OutOfCoreTrainer:
 
     def params(self) -> Params:
         """Full-size host params in ORIGINAL entity ids (for eval/save)."""
+        self.flush()
         e = np.empty((self.full_model.n_entities, *self.e_host["param"].shape[1:]),
                      self.e_host["param"].dtype)
         e[:] = self.e_host["param"][self.new_of_old]
