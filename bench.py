@@ -37,7 +37,10 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--model", default="transe", choices=["transe", "hole", "rescal", "ermlp"])
+    ap.add_argument(
+        "--model", default="transe",
+        choices=["transe", "hole", "rescal", "ermlp", "distmult", "complex"],
+    )
     ap.add_argument("--ncomp", type=int, default=150)
     ap.add_argument("--nbatches", type=int, default=100)
     ap.add_argument("--epochs", type=int, default=3, help="timed epochs")

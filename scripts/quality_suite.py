@@ -53,7 +53,7 @@ def main() -> None:
     )
     from skge_tpu.data import latent_kg
     from skge_tpu.evaluation import FilteredRankingEval
-    from skge_tpu.models import ERMLP, HolE, RESCAL, TransE
+    from skge_tpu.models import ComplEx, DistMult, ERMLP, HolE, RESCAL, TransE
 
     print("building latent KG...", flush=True)
     t0 = time.perf_counter()
@@ -78,6 +78,12 @@ def main() -> None:
         ("HolE", HolE(ds.n_entities, ds.n_relations, 150, rparam=0.0), 0.5, 0.3, 2048),
         ("RESCAL", RESCAL(ds.n_entities, ds.n_relations, 100, rparam=0.01), 1.0, 0.1, None),
         ("ER-MLP", ERMLP(ds.n_entities, ds.n_relations, 150, nhidden=10), 1.0, 0.1, None),
+        # multiplicative models: rparam collapses embeddings on this KG
+        # (all-equal scores => random MRR under the mean tie-break), and the
+        # translation-generated latent KG structurally favors TransE —
+        # DistMult is symmetric, so these are expected to trail here
+        ("DistMult", DistMult(ds.n_entities, ds.n_relations, 150), 0.5, 0.3, 2048),
+        ("ComplEx", ComplEx(ds.n_entities, ds.n_relations, 75), 0.5, 0.3, 2048),
     ]
 
     if args.models:

@@ -10,7 +10,8 @@ Reference-compatible class surface (skge-style Model/Trainer/Sampler API):
     from skge_tpu import compat
 """
 
-from skge_tpu.models import ERMLP, MODELS, HolE, KGEModel, RESCAL, TransE
+from skge_tpu.models import (ERMLP, MODELS, ComplEx, DistMult, HolE,
+                             KGEModel, RESCAL, TransE)
 from skge_tpu.optim import OPTIMIZERS, AdaGrad, SGD
 from skge_tpu.sampling import (
     SAMPLERS,
@@ -37,6 +38,8 @@ __all__ = [
     "RESCAL",
     "HolE",
     "ERMLP",
+    "DistMult",
+    "ComplEx",
     "MODELS",
     "AdaGrad",
     "SGD",

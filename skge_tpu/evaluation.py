@@ -72,8 +72,20 @@ def ranking_scores(
     )
 
 
-def _rank_kernel(model: KGEModel, direction: str, mesh=None, axis="model"):
+def _rank_kernel(
+    model: KGEModel, direction: str, mesh=None, axis="model",
+    ties: str = "mean",
+):
     """Jitted per-batch kernel: (params, batch, frows, fents) -> raw/filt ranks.
+
+    `ties='mean'` (default) ranks the target at 1 + #greater + #equal/2
+    (equal scores EXCLUDING the target itself) — the robust convention from
+    the KGE re-evaluation literature (Sun et al. 2020): a degenerate model
+    whose scores all collapse to a constant gets the expected random rank
+    (n/2), not rank 1. `ties='optimistic'` is the reference harness's
+    1 + #strictly-greater ([M] — its argsort tie order is unspecified;
+    ties are measure-zero for healthy continuous scores, where the two
+    conventions agree).
 
     With a `mesh`, the (B, n_e) score matrix is sharded over candidate
     ENTITIES on the mesh's `axis` (the same axis the entity table is
@@ -100,12 +112,24 @@ def _rank_kernel(model: KGEModel, direction: str, mesh=None, axis="model"):
             scores = jax.lax.with_sharding_constraint(scores, col_sharded)
         b = scores.shape[0]
         tgt = scores[jnp.arange(b), target]
-        raw = 1 + jnp.sum(scores > tgt[:, None], axis=1)
+
+        def rank_of(sc, self_included):
+            greater = jnp.sum(sc > tgt[:, None], axis=1)
+            if ties == "optimistic":
+                return 1 + greater
+            # mean tie-break; the raw matrix still contains the target's own
+            # slot (trivially equal), the filtered one has it at -inf
+            equal = jnp.sum(sc == tgt[:, None], axis=1)
+            if self_included:
+                equal = equal - 1
+            return 1 + greater + jnp.maximum(equal, 0) // 2
+
+        raw = rank_of(scores, True)
         # scatter -inf at all known-true (row, entity) pairs (incl. target,
-        # which no longer competes since the comparison is strict-greater
-        # against the saved target score)
+        # which no longer competes since the comparisons are against the
+        # saved target score)
         filt_scores = scores.at[frows, fents].set(NEG_INF, mode="drop")
-        filt = 1 + jnp.sum(filt_scores > tgt[:, None], axis=1)
+        filt = rank_of(filt_scores, False)
         return raw.astype(jnp.int32), filt.astype(jnp.int32)
 
     return jax.jit(kernel)
@@ -149,6 +173,7 @@ class FilteredRankingEval:
         hits_at: Sequence[int] = (1, 3, 10),
         mesh=None,
         axis: str = "model",
+        ties: str = "mean",
     ):
         self.model = model
         self.hits_at = tuple(hits_at)
@@ -157,8 +182,8 @@ class FilteredRankingEval:
         sp_o, op_s = true_triple_index(np.asarray(known))
         self._index = {"o": sp_o, "s": op_s}
         self._kernels = {
-            "o": _rank_kernel(model, "o", mesh, axis),
-            "s": _rank_kernel(model, "s", mesh, axis),
+            "o": _rank_kernel(model, "o", mesh, axis, ties),
+            "s": _rank_kernel(model, "s", mesh, axis, ties),
         }
 
         # batch layout: pad the last batch by repeating row 0 (masked out)

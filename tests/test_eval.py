@@ -132,3 +132,22 @@ def test_sharded_eval_matches_unsharded():
     np.testing.assert_array_equal(got.ranks, want.ranks)
     np.testing.assert_array_equal(got.ranks_raw, want.ranks_raw)
     assert got.mrr == want.mrr
+
+
+def test_mean_tiebreak_on_collapsed_scores():
+    """A degenerate model whose scores are all EQUAL must score ~random
+    (rank ~ n/2), not MRR 1.0 — the tie exploit from the KGE re-evaluation
+    literature. 'optimistic' preserves the reference's strict-greater rank."""
+    model, params = build(TransE)
+    params = {k: jnp.zeros_like(v) for k, v in params.items()}  # all-0 scores
+    ds = synthetic_kg(N_E, N_R, n_train=100, n_test=20, seed=5)
+    known = ds.all_triples()
+
+    res = FilteredRankingEval(model, ds.test, known, batch_size=8)(params)
+    assert res.mrr < 0.2
+    assert res.mean_rank_raw == pytest.approx(1 + (N_E - 1) // 2)
+
+    opt = FilteredRankingEval(
+        model, ds.test, known, batch_size=8, ties="optimistic"
+    )(params)
+    assert opt.mrr == 1.0  # the artifact, explicitly opted into
