@@ -63,8 +63,7 @@ def main() -> None:
     from skge_tpu.ops.aggregate import FactoredOcc
     from skge_tpu.training import (
         StepMetrics, TrainState, apply_gradients,
-        pairwise_grads_fused, pairwise_grads_shared,
-        pairwise_grads_shared_bilinear,
+        pairwise_grads_fused, select_shared_pairwise_fn,
     )
 
     ds = synthetic_kg(args.entities, args.relations, args.ntrain,
@@ -83,13 +82,7 @@ def main() -> None:
 
     def grads_of(state, batch, mask, sk):
         if shared:
-            # same dispatch as training.make_pairwise_step
-            shared_fn = (
-                pairwise_grads_shared_bilinear
-                if getattr(model, "factored_pool_grads", False)
-                and model.pairwise_af == "linear"
-                else pairwise_grads_shared
-            )
+            shared_fn = select_shared_pairwise_fn(model)
             pool = sampler.pool(sk, batch, mask)
             return shared_fn(
                 model, state.params, batch, pool, mask, 1.0,

@@ -79,10 +79,11 @@ def _rank_kernel(
     """Jitted per-batch kernel: (params, batch, frows, fents) -> raw/filt ranks.
 
     `ties='mean'` (default) ranks the target at 1 + #greater + #equal/2
-    (equal scores EXCLUDING the target itself) — the robust convention from
-    the KGE re-evaluation literature (Sun et al. 2020): a degenerate model
-    whose scores all collapse to a constant gets the expected random rank
-    (n/2), not rank 1. `ties='optimistic'` is the reference harness's
+    (equal scores EXCLUDING the target itself; half-ranks are kept — the
+    returned ranks are float32) — the robust convention from the KGE
+    re-evaluation literature (Sun et al. 2020): a degenerate model whose
+    scores all collapse to a constant gets the expected random rank (n/2),
+    not rank 1. `ties='optimistic'` is the reference harness's
     1 + #strictly-greater ([M] — its argsort tie order is unspecified;
     ties are measure-zero for healthy continuous scores, where the two
     conventions agree).
@@ -95,6 +96,8 @@ def _rank_kernel(
     matmul". The filter scatter and the rank reduction stay inside the same
     jitted program, so GSPMD keeps them on the column shards.
     """
+    if ties not in ("mean", "optimistic"):
+        raise ValueError(f"ties must be 'mean' or 'optimistic', got {ties!r}")
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -116,13 +119,16 @@ def _rank_kernel(
         def rank_of(sc, self_included):
             greater = jnp.sum(sc > tgt[:, None], axis=1)
             if ties == "optimistic":
-                return 1 + greater
-            # mean tie-break; the raw matrix still contains the target's own
-            # slot (trivially equal), the filtered one has it at -inf
+                return (1 + greater).astype(jnp.float32)
+            # mean tie-break (half-ranks preserved); the raw matrix still
+            # contains the target's own slot (trivially equal), the
+            # filtered one has it at -inf
             equal = jnp.sum(sc == tgt[:, None], axis=1)
             if self_included:
                 equal = equal - 1
-            return 1 + greater + jnp.maximum(equal, 0) // 2
+            return (
+                1 + greater + jnp.maximum(equal, 0) * 0.5
+            ).astype(jnp.float32)
 
         raw = rank_of(scores, True)
         # scatter -inf at all known-true (row, entity) pairs (incl. target,
@@ -130,7 +136,7 @@ def _rank_kernel(
         # saved target score)
         filt_scores = scores.at[frows, fents].set(NEG_INF, mode="drop")
         filt = rank_of(filt_scores, False)
-        return raw.astype(jnp.int32), filt.astype(jnp.int32)
+        return raw, filt
 
     return jax.jit(kernel)
 
@@ -216,8 +222,9 @@ class FilteredRankingEval:
 
     def __call__(self, params: Params) -> RankingResult:
         n = len(self.test)
-        ranks = {d: np.zeros(n, np.int64) for d in ("o", "s")}
-        ranks_raw = {d: np.zeros(n, np.int64) for d in ("o", "s")}
+        # float64: mean tie-breaking produces half-ranks
+        ranks = {d: np.zeros(n, np.float64) for d in ("o", "s")}
+        ranks_raw = {d: np.zeros(n, np.float64) for d in ("o", "s")}
         pos = 0
         for b in range(self.n_batches):
             batch = jnp.asarray(self._batches[b])

@@ -46,7 +46,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _SUB = 8  # fp32 sublane multiple
-_UNROLL = 2
 _VMEM_BUDGET = 110 * 1024 * 1024
 
 
@@ -96,7 +95,10 @@ def _kernel(idx_ref, *refs, num_rows, d_sub, chunk, rank):
 
         def body(lane, carry):
             j = gi * _LANE + lane
-            r = jnp.minimum(idx_ref[j], num_rows)
+            # out-of-range indices — negative OR >= num_rows — land on the
+            # sacrificial row block (.at[].add(mode='drop') semantics)
+            raw = idx_ref[j]
+            r = jnp.where(raw < 0, num_rows, jnp.minimum(raw, num_rows))
             row0 = pl.multiple_of(r * d_sub, _SUB)
             # all rank terms land in ONE dynamic read-modify-write; terms
             # are summed BEFORE the table add so fp32 association matches
@@ -169,6 +171,10 @@ def segment_outer_sum_pallas(
         zp = jnp.zeros((pad, d), jnp.float32)
         us = tuple(jnp.concatenate([u, zp]) for u in us)
         vs = tuple(jnp.concatenate([v, zp]) for v in vs)
+    # pad the lane axis to a TILE multiple — the grid must cover every
+    # output column even when VMEM pressure picks tile < dv (the sibling
+    # pallas_segment.py kernel does the same)
+    dv = -(-dv // tile) * tile
     uts = tuple(jnp.pad(u.T, ((0, d_sub - d), (0, 0))) for u in us)  # (d_sub, T)
     vps = tuple(jnp.pad(v, ((0, 0), (0, dv - d))) for v in vs)       # (T, dv)
     tp = t + pad

@@ -80,10 +80,12 @@ def _kernel(idx_ref, g_ref, out_ref, acc_ref, *, num_rows: int, chunk: int):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def body(i, carry):
-        # branch-free: dropped/padding indices land in the sacrificial row
+        # branch-free: dropped/padding indices — negative OR >= num_rows —
+        # land in the sacrificial row (.at[].add(mode='drop') semantics)
         for u in range(_UNROLL):
             j = i * _UNROLL + u
-            r = jnp.minimum(idx_ref[j], num_rows)
+            raw = idx_ref[j]
+            r = jnp.where(raw < 0, num_rows, jnp.minimum(raw, num_rows))
             acc_ref[pl.ds(r, 1), :] = (
                 acc_ref[pl.ds(r, 1), :] + g_ref[pl.ds(j, 1), :]
             )

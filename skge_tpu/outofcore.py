@@ -331,13 +331,28 @@ class OutOfCoreTrainer:
         # a full roundtrip on tunneled backends)
         return jnp.sum(m.loss), jnp.sum(m.nviolations)
 
+    def _bucket_order(self):
+        """Greedy chained order: each bucket shares a resident partition
+        with its predecessor whenever the bucket graph allows it (PBG's
+        ordering goal), so the 2-slot device cache hits on at least one
+        part per transition. Deterministic (sorted tie-breaks)."""
+        remaining = sorted(self.buckets, key=lambda ij: (min(ij), max(ij), ij[0]))
+        order = [remaining.pop(0)]
+        while remaining:
+            prev = set(order[-1])
+            nxt = next(
+                (b for b in remaining if prev & set(b)), remaining[0]
+            )
+            remaining.remove(nxt)
+            order.append(nxt)
+        return order
+
     def fit(self, epochs: int = 1, verbose: bool = False):
-        """Run `epochs` passes; each pass visits every bucket once, ordered
-        to reuse one resident partition between consecutive buckets (halves
-        upload traffic vs arbitrary order — PBG's bucket ordering)."""
-        order = sorted(
-            self.buckets, key=lambda ij: (min(ij), max(ij), ij[0])
-        )
+        """Run `epochs` passes; each pass visits every bucket once, in the
+        chained order from `_bucket_order` (consecutive buckets share a
+        resident partition whenever possible, so the device part cache
+        converts most transitions into at most one upload)."""
+        order = self._bucket_order()
         for ep in range(epochs):
             tot_loss = tot_viol = 0.0
             for (pi, pj) in order:

@@ -738,6 +738,25 @@ def apply_gradients(
 # Train steps. `sampler` is a pure callable from skge_tpu.sampling.
 # ---------------------------------------------------------------------------
 
+def select_shared_pairwise_fn(model: KGEModel):
+    """Shared-pool pairwise gradient dispatch (single source of truth —
+    also used by scripts/profile_step.py): models whose pool-pair W
+    gradient is low-rank (RESCAL) take the hand-derived factored path, the
+    rest the generic autodiff path."""
+    if (
+        getattr(model, "factored_pool_grads", False)
+        and model.pairwise_af == "linear"
+    ):
+        return pairwise_grads_shared_bilinear
+    return pairwise_grads_shared
+
+
+def select_shared_pointwise_fn(model: KGEModel):
+    """Shared-pool pointwise gradient dispatch (see above)."""
+    if getattr(model, "factored_pool_grads", False):
+        return pointwise_grads_shared_bilinear
+    return pointwise_grads_shared
+
 class StepMetrics(NamedTuple):
     loss: jnp.ndarray
     nviolations: jnp.ndarray
@@ -804,14 +823,7 @@ def make_pairwise_step(
     the shared-negative-pool path instead (pairwise_grads_shared).
     """
     if fused and hasattr(sampler, "pool"):
-        # models whose pool-pair W-gradient is rank-1 (RESCAL) get the
-        # hand-derived factored path: no (B, d, d) cotangent materialization
-        grads_fn = (
-            pairwise_grads_shared_bilinear
-            if getattr(model, "factored_pool_grads", False)
-            and model.pairwise_af == "linear"
-            else pairwise_grads_shared
-        )
+        grads_fn = select_shared_pairwise_fn(model)
 
         def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
             key, sk = jax.random.split(state.key)
@@ -868,11 +880,7 @@ def make_pointwise_step(
     the shared-pool logistic path (pointwise_grads_shared).
     """
     if hasattr(sampler, "pool"):
-        grads_fn = (
-            pointwise_grads_shared_bilinear
-            if getattr(model, "factored_pool_grads", False)
-            else pointwise_grads_shared
-        )
+        grads_fn = select_shared_pointwise_fn(model)
 
         def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
             key, sk = jax.random.split(state.key)

@@ -243,3 +243,51 @@ def test_outer_kernel_interpret_matches_xla(rank):
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-4)
+
+
+def test_outer_kernel_lane_tile_smaller_than_width():
+    """Regression: when VMEM pressure selects a lane tile that does not
+    divide the padded feature width (d=300 -> dv=384, tile=256 at
+    num_rows=200), the grid must still cover every output column."""
+    from skge_tpu.ops import pallas_outer
+    from skge_tpu.ops.pallas_outer import segment_outer_sum_pallas
+
+    t, d, r = 1024, 300, 200
+    d_sub = -(-d // 8) * 8
+    tile = pallas_outer._tile_v(r, d_sub, 384, 1024, rank=1)
+    assert 0 < tile < 384, f"test setup must force a partial tile, got {tile}"
+
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, r, t).astype(np.int32)
+    u = rng.standard_normal((t, d)).astype(np.float32)
+    v = rng.standard_normal((t, d)).astype(np.float32)
+    got = segment_outer_sum_pallas(
+        jnp.asarray(idx), (jnp.asarray(u),), (jnp.asarray(v),), r,
+        interpret=True,
+    )
+    want = np.zeros((r, d, d), np.float32)
+    for i in range(t):
+        want[idx[i]] += np.outer(u[i], v[i])
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-3)
+
+
+def test_outer_kernel_drops_negative_indices():
+    """Negative indices must be dropped (.at[].add(mode='drop') contract),
+    matching the XLA fallback — not written out of bounds."""
+    from skge_tpu.ops.pallas_outer import segment_outer_sum_pallas
+
+    rng = np.random.default_rng(2)
+    t, d, r = 1024, 16, 11
+    idx = rng.integers(-3, r, t).astype(np.int32)  # some negative
+    u = rng.standard_normal((t, d)).astype(np.float32)
+    v = rng.standard_normal((t, d)).astype(np.float32)
+    got = segment_outer_sum_pallas(
+        jnp.asarray(idx), (jnp.asarray(u),), (jnp.asarray(v),), r,
+        interpret=True,
+    )
+    want = np.zeros((r, d, d), np.float32)
+    for i in range(t):
+        if 0 <= idx[i] < r:
+            want[idx[i]] += np.outer(u[i], v[i])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-4)
