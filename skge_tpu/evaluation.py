@@ -4,8 +4,10 @@ Reference semantics (companion harness kg/base.py, SURVEY.md §3.4): for each
 test triple (s, o, p), score ALL entities as object and as subject; the
 FILTERED rank masks every known-true triple (train ∪ valid ∪ test) except the
 target; report mean rank, MRR (raw + filtered) and Hits@{1,3,10} pooled over
-both prediction directions. Rank = 1 + #(strictly greater scores), i.e.
-optimistic tie-breaking [M — the reference's argsort order on exact ties is
+both prediction directions. Default tie-breaking is `ties='mean'`
+(rank = 1 + #greater + #ties/2, half-ranks preserved — robust against
+constant-score degenerate models); `ties='optimistic'` reproduces the
+reference's 1 + #(strictly greater) [M — its argsort order on exact ties is
 unspecified; ties are measure-zero for continuous scores].
 
 TPU design: the all-entity sweep is each model's `score_all_*` — one MXU
@@ -13,8 +15,8 @@ matmul per batch (SURVEY.md §3.4 "on TPU this becomes a sharded matmul").
 Known-true filtering avoids materializing (n_test, n_e) boolean masks: the
 host precomputes, once per eval set, a flat (row, entity) pair list per test
 batch (padded to a static width), and the device scatters -inf at those pairs
-(`mode='drop'` for padding). Ranks come back as small int arrays; metric
-reduction happens on host.
+(`mode='drop'` for padding). Ranks come back as small float32 arrays (mean
+tie-breaking produces half-ranks); metric reduction happens on host.
 """
 
 from __future__ import annotations

@@ -96,7 +96,8 @@ def _kernel(idx_ref, *refs, num_rows, d_sub, chunk, rank):
         def body(lane, carry):
             j = gi * _LANE + lane
             # out-of-range indices — negative OR >= num_rows — land on the
-            # sacrificial row block (.at[].add(mode='drop') semantics)
+            # sacrificial row block (dropped; negatives deliberately do NOT
+            # wrap the way NumPy-style .at[] indexing would)
             raw = idx_ref[j]
             r = jnp.where(raw < 0, num_rows, jnp.minimum(raw, num_rows))
             row0 = pl.multiple_of(r * d_sub, _SUB)

@@ -19,9 +19,11 @@ Measured design notes (v5e, this repo's _pallas prototypes):
 - a bf16 one-hot MXU matmul formulation has a 2.3 ms FLOP floor at these
   shapes and measured 4.4 ms — rejected.
 
-Out-of-range indices (>= num_rows) are dropped by clamping them to a
-sacrificial row, matching `.at[].add(mode="drop")` semantics for the
-padding convention used by the aggregation layer (index == num_rows).
+Out-of-range indices — negative OR >= num_rows — are dropped by routing
+them to a sacrificial row. NOTE: negative indices do NOT wrap (unlike
+NumPy-style `.at[]` indexing, which wraps -n <= idx < 0); the aggregation
+layer only ever produces indices in [0, num_rows] (num_rows = padding),
+so dropping is the defensive choice against silent row corruption.
 
 Reference context: this implements the summation half of skge/util.py's
 `grad_sum_matrix` (~30) — the CSR duplicate-summing matvec — as a TPU
@@ -81,7 +83,7 @@ def _kernel(idx_ref, g_ref, out_ref, acc_ref, *, num_rows: int, chunk: int):
 
     def body(i, carry):
         # branch-free: dropped/padding indices — negative OR >= num_rows —
-        # land in the sacrificial row (.at[].add(mode='drop') semantics)
+        # land in the sacrificial row (negatives deliberately do NOT wrap)
         for u in range(_UNROLL):
             j = i * _UNROLL + u
             raw = idx_ref[j]
@@ -111,7 +113,9 @@ def segment_sum_pallas(
     """Sum `grads` rows into a (num_rows, D) table by `indices`.
 
     Semantics match `jnp.zeros((num_rows, D)).at[indices].add(grads,
-    mode="drop")` up to fp32 accumulation order. Arbitrary D: wide rows are
+    mode="drop")` up to fp32 accumulation order for indices in
+    [0, num_rows); all out-of-range indices (including negatives, which
+    NumPy-style indexing would wrap) are dropped. Arbitrary D: wide rows are
     swept in VMEM-sized column tiles (grid dim 0). `interpret=True` runs
     the kernel in the Pallas interpreter (CPU tests).
     """

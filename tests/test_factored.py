@@ -273,8 +273,8 @@ def test_outer_kernel_lane_tile_smaller_than_width():
 
 
 def test_outer_kernel_drops_negative_indices():
-    """Negative indices must be dropped (.at[].add(mode='drop') contract),
-    matching the XLA fallback — not written out of bounds."""
+    """Negative indices must be dropped — NOT wrapped to the table tail the
+    way NumPy-style `.at[]` indexing would, and not written out of bounds."""
     from skge_tpu.ops.pallas_outer import segment_outer_sum_pallas
 
     rng = np.random.default_rng(2)

@@ -42,6 +42,27 @@ def test_segment_sum_drops_out_of_range():
     )
 
 
+def test_segment_sum_drops_negative_indices():
+    """Negative indices must be dropped — NOT wrapped to the table tail the
+    way NumPy-style `.at[]` indexing would, and not written to row 0. (The
+    aggregation layer never produces negatives; dropping is the defensive
+    contract against silent row corruption.)"""
+    rng = np.random.default_rng(3)
+    t, r, d = 512, 20, 16
+    idx = rng.integers(-4, r, t)  # some negative
+    assert (idx < 0).any()
+    g = rng.normal(size=(t, d)).astype(np.float32)
+    out = segment_sum_pallas(
+        jnp.asarray(idx, jnp.int32), jnp.asarray(g), r, chunk=1024,
+        interpret=True,
+    )
+    want = np.zeros((r, d), np.float32)
+    for i in range(t):
+        if 0 <= idx[i] < r:
+            want[idx[i]] += g[i]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+
+
 def test_segment_sum_tail_not_multiple_of_chunk():
     rng = np.random.default_rng(2)
     t, r, d = 1500, 40, 8  # 1500 % 1024 != 0
