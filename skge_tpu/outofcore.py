@@ -224,6 +224,7 @@ class OutOfCoreTrainer:
         self.cache_parts = cache_parts
         self._cache: Dict[int, Dict[str, jnp.ndarray]] = {}
         self._lru: list = []
+        self.uploads = 0  # host->device part uploads (cache misses)
         self._epochs: Dict[Tuple[int, int, int, int], callable] = {}
         self._metrics: list = []
 
@@ -265,6 +266,7 @@ class OutOfCoreTrainer:
             kk: jnp.asarray(v[p * s : (p + 1) * s])
             for kk, v in self.e_host.items()
         }
+        self.uploads += 1
         self._cache[p] = dev
         self._lru.append(p)
         return dev
@@ -286,7 +288,14 @@ class OutOfCoreTrainer:
         diag = pi == pj
         local, valid, sizes_row = self._prepared[(pi, pj)]
 
-        # resident rows from the device cache (host upload only on miss)
+        # resident rows from the device cache (host upload only on miss).
+        # Refresh the LRU slot of already-resident parts FIRST: otherwise a
+        # bucket (new, shared) whose shared part sits at the LRU front would
+        # evict it while uploading the new part, then immediately re-upload
+        # it — a double upload the chained bucket order exists to avoid.
+        for p in dict.fromkeys((pi, pj)):
+            if p in self._cache:
+                self._fetch_part(p)
         di = self._fetch_part(pi)
         dj = di if diag else self._fetch_part(pj)
         e_dev = (

@@ -93,3 +93,36 @@ def test_multipart_learns_on_latent_kg():
         params
     )
     assert r.mrr > 2.0 / ds.n_entities  # clearly better than random
+
+
+def test_chained_order_upload_bound():
+    """The chained bucket order + LRU refresh must give at most ONE part
+    upload per bucket transition: each bucket after the first shares a
+    resident partition with its predecessor whenever the bucket graph
+    allows, and fetching the missing part must never evict the shared one
+    (the (new, shared) LRU-front hazard)."""
+    ds = synthetic_kg(n_entities=120, n_relations=4, n_train=800, seed=3,
+                      clustered=True)
+    model = TransE(ds.n_entities, ds.n_relations, 8)
+    ooc = OutOfCoreTrainer(
+        model, AdaGrad(), ds.train, n_parts=3, margin=1.0, k=16,
+        nbatches=2, seed=1,
+    )
+    order = ooc._bucket_order()
+    assert sorted(order) == sorted(ooc.buckets)
+    # every transition shares a part when the bucket graph allows it
+    # (P=3 with clustered data: diagonal buckets exist, graph is connected)
+    chained = sum(
+        1 for a, b in zip(order, order[1:]) if set(a) & set(b)
+    )
+    assert chained == len(order) - 1
+
+    ooc.fit(epochs=1)
+    nbuckets = len(order)
+    # first bucket <= 2 uploads, every later transition <= 1
+    assert ooc.uploads <= nbuckets + 1, (ooc.uploads, nbuckets)
+
+    before = ooc.uploads
+    ooc.fit(epochs=1)
+    # fit() flushes at the end, so epoch 2 re-uploads from scratch
+    assert ooc.uploads - before <= nbuckets + 1
