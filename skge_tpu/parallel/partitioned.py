@@ -13,16 +13,27 @@ the triples whose SUBJECT it owns (data.partition_edges). Consequences:
   the (L,) object ids are all_gathered (tiny), every shard answers with
   its owned rows zero-filled elsewhere, and one psum('shard') assembles
   them — O(P*L*d) over ICI, no replicated compute, no full-table
-  allgather. With a community-structured graph most object rows are also
-  local; a future compaction (static boundary cap, exchange only the
-  non-local remainder) multiplies this by (1 - object_locality);
+  allgather;
+- **compacted boundary exchange** (`boundary_cap=C`, shared-pool mode):
+  with a community-structured graph most object rows are local, so each
+  shard compacts its <= C NON-local object ids into a static-width
+  request buffer (argsort-by-ownership — no dynamic shapes), all_gathers
+  the (P, C) ids, and one tiled `psum_scatter` returns each shard exactly
+  its C answered rows: O(P*C*d) = the full exchange times
+  (1 - object_locality). Size C with `object_boundary_cap` (exact host
+  count); overflow beyond C leaves the extra rows zero — cap generously;
 - the shared negative pool is identical on every shard, so pool rows
   assemble with a single psum('shard') of owned rows — O(K*d);
-- entity gradients scatter into a full-size local table and one
-  `psum_scatter('shard')` both reduces across shards and leaves each
-  shard exactly its owned slice — O(n_e*d) per step, one ICI pass
-  (the full-size transient bounds this path to tables that fit one
-  device's HBM; the billion-row regime needs the compacted exchange).
+- entity gradients: the default path scatters into a full-size local
+  table and one `psum_scatter('shard')` both reduces across shards and
+  leaves each shard exactly its owned slice — O(n_e*d) per step, one ICI
+  pass, but the full-size transient bounds it to tables that fit one
+  device's HBM. With `boundary_cap` the gradient return is compacted
+  too: owned occurrence rows scatter straight into the (S, d) shard
+  table, and the <= C+K non-owned rows (boundary objects + non-owned
+  pool entities) travel via one all_gather of (P, C+K, d) and an
+  owner-filtered scatter — NO n_e-sized transient, so the entity table
+  per chip is bounded by S = n_e/P, the true billion-row regime.
 
 Distributed math is EXACTLY the single-device update (tests/
 test_partitioned.py): same duplicate-occurrence averaging, violation
@@ -81,12 +92,29 @@ def relabel_entities(
     return out, new_of_old, n_parts * s
 
 
+def object_boundary_cap(batches: np.ndarray, s_rows: int) -> int:
+    """Exact max count, over shards, of NON-local object ids in `batches`.
+
+    `batches` is the (P, L, 3) output of data.partition_edges on RELABELED
+    triples (shard p owns rows [p*S, (p+1)*S)). Use the result (or any
+    larger value) as `boundary_cap` for make_partitioned_pairwise_step;
+    padding rows are counted too, since they flow through the same gather.
+    """
+    b = np.asarray(batches)
+    caps = []
+    for p in range(b.shape[0]):
+        obj = b[p, :, 1]
+        caps.append(int(np.sum((obj < p * s_rows) | (obj >= (p + 1) * s_rows))))
+    return max(caps) if caps else 0
+
+
 def make_partitioned_pairwise_step(
     model: KGEModel,
     opt: Optimizer,
     sampler: Callable,
     margin: float,
     mesh: Mesh,
+    boundary_cap: int | None = None,
 ):
     """Jitted partition-aligned pairwise step.
 
@@ -95,6 +123,14 @@ def make_partitioned_pairwise_step(
     shard p receives row p. Requires model.n_entities == P * S (use
     relabel_entities' n_padded). Supports the `pool` and `corruptions`
     sampler protocols.
+
+    `boundary_cap` (shared-pool samplers only) switches both the entity-row
+    gather and the gradient return to the compacted boundary exchange (see
+    the module docstring): communication O(P*(C+K)*d) per step instead of
+    O(P*L*d + n_e*d), and no n_e-sized transient. C must be >= the max
+    per-shard non-local object count (`object_boundary_cap`); rows beyond
+    the cap silently contribute zero, so size it from the data, not a
+    guess.
     """
     by_role = {role: pname for _, pname, role in model.slot_spec()}
     epname = by_role["s"]
@@ -108,6 +144,12 @@ def make_partitioned_pairwise_step(
         )
     s_rows = n_e // p_size
     shared = hasattr(sampler, "pool")
+    if boundary_cap is not None and not shared:
+        raise ValueError(
+            "boundary_cap requires a shared-pool sampler (the iid "
+            "corruption gather is ~uniformly non-local; compaction only "
+            "pays when most object rows are shard-local)"
+        )
 
     specs = {}
     for _, pname, role in model.slot_spec():
@@ -156,6 +198,28 @@ def make_partitioned_pairwise_step(
                 return params[pname][idx]
             return jax.lax.psum(local_rows(idx), SHARD_AXIS)
 
+        def gather_compact(idx):
+            """Compacted boundary exchange: fetch only the <= C non-local
+            ids through the collective; local ids gather locally.
+
+            argsort on the ownership mask packs non-owned positions first
+            (static shapes; padding slots re-request owned ids, whose
+            exchanged answer equals the local row, so the final `set` is
+            value-identical for them)."""
+            local = idx - row_off
+            own = jnp.logical_and(local >= 0, local < s_rows)
+            req_pos = jnp.argsort(own)[:boundary_cap]   # non-owned first
+            all_req = jax.lax.all_gather(
+                idx[req_pos], SHARD_AXIS
+            )                                           # (P, C) ids — tiny
+            answers = local_rows(all_req.reshape(-1))   # (P*C, d)
+            mine = jax.lax.psum_scatter(
+                answers, SHARD_AXIS, scatter_dimension=0, tiled=True
+            )                                           # (C, d): my requests
+            rows = params[epname][jnp.clip(local, 0, s_rows - 1)]
+            rows = jnp.where(own[:, None], rows, 0)
+            return rows.at[req_pos].set(mine)
+
         key, sk = jax.random.split(state.key)
         dk = jax.random.fold_in(sk, me)
         if shared:
@@ -165,6 +229,8 @@ def make_partitioned_pairwise_step(
             def g(pname, idx):
                 if idx is pool_idx:
                     return gather_replicated(pname, idx)
+                if boundary_cap is not None and pname == epname:
+                    return gather_compact(idx)
                 return gather(pname, idx)
 
             loss, nviol, occ, g_dense = pairwise_grads_shared(
@@ -190,7 +256,34 @@ def make_partitioned_pairwise_step(
                 [grads.reshape(t, -1), counts.astype(grads.dtype)[:, None]],
                 axis=1,
             )
-            if pname == epname:
+            if pname == epname and boundary_cap is not None:
+                # compacted gradient return: owned occurrence rows scatter
+                # straight into the (S, F+1) shard table; the <= C+K
+                # non-owned rows (boundary objects + non-owned pool ids)
+                # travel via ONE all_gather and an owner-filtered scatter.
+                # No n_e-sized transient anywhere.
+                local = idx - row_off
+                own = jnp.logical_and(local >= 0, local < s_rows)
+                table = jnp.zeros(
+                    (s_rows, aug.shape[1]), grads.dtype
+                ).at[jnp.where(own, local, s_rows)].add(aug, mode="drop")
+                gcap = boundary_cap + pool_idx.shape[0]
+                npos = jnp.argsort(own)[:gcap]          # non-owned first
+                # zero the padding slots (owned rows already scattered
+                # above — without this they would double-count)
+                nb_aug = aug[npos] * (~own[npos]).astype(grads.dtype)[:, None]
+                all_ids = jax.lax.all_gather(
+                    idx[npos], SHARD_AXIS
+                ).reshape(-1)                           # (P*(C+K),)
+                all_aug = jax.lax.all_gather(
+                    nb_aug, SHARD_AXIS
+                ).reshape(-1, aug.shape[1])
+                lcl = all_ids - row_off
+                owng = jnp.logical_and(lcl >= 0, lcl < s_rows)
+                table = table.at[jnp.where(owng, lcl, s_rows)].add(
+                    all_aug, mode="drop"
+                )
+            elif pname == epname:
                 full = jnp.zeros((n_e, aug.shape[1]), grads.dtype).at[
                     idx
                 ].add(aug, mode="drop")

@@ -155,3 +155,71 @@ def test_partitioned_step_matches_single_device(case):
                 np.asarray(state.params[k]), np.asarray(ref.params[k]),
                 rtol=1e-9, atol=1e-12, err_msg=f"{case} param {k}",
             )
+
+
+def test_boundary_compacted_step_matches_single_device():
+    """`boundary_cap` (compacted gather + compacted gradient return) must
+    be bit-exact (fp64) against the same single-device reference as the
+    full-exchange path — at the EXACT cap and at a larger cap (padding
+    request slots re-request owned ids and must not double-count)."""
+    from skge_tpu.parallel.partitioned import object_boundary_cap
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(61, 5, n_train=400, seed=7, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    batches_np, mask_np, _ = partition_edges(rel, _range_part(n_pad, s), P_PARTS)
+    exact_cap = object_boundary_cap(batches_np, s)
+    assert exact_cap > 0, "test KG must have non-local objects"
+    batches = jnp.asarray(batches_np)
+    mask = jnp.asarray(mask_np, jnp.float64)
+
+    model = TransE(n_pad, ds.n_relations, 16, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    margin = 0.7
+    rng = np.random.default_rng(11)
+    sampler = FixedPool(jnp.asarray(rng.integers(0, n_pad, 7), jnp.int32))
+    flat_batch = batches.reshape(-1, 3)
+    flat_mask = mask.reshape(-1)
+
+    ref = init_state(model, opt, jax.random.PRNGKey(4))
+    for _ in range(3):
+        loss, nviol, occ, g_dense = training.pairwise_grads_shared(
+            model, ref.params, flat_batch, sampler._pool, flat_mask, margin,
+        )
+        p_new, o_new = training.apply_gradients(
+            model, opt, ref.params, ref.opt_state, occ, g_dense,
+            "dense", premasked=True,
+        )
+        ref = training.TrainState(p_new, o_new, ref.key, ref.step + 1)
+
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    for cap in (exact_cap, exact_cap + 3):
+        step = make_partitioned_pairwise_step(
+            model, opt, sampler, margin, mesh, boundary_cap=cap
+        )
+        state = shard_state_partitioned(
+            init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+        )
+        for _ in range(3):
+            state, m = step(state, batches, mask)
+        assert int(m.nviolations) == int(nviol)
+        for k in ref.params:
+            np.testing.assert_allclose(
+                np.asarray(state.params[k]), np.asarray(ref.params[k]),
+                rtol=1e-9, atol=1e-12, err_msg=f"cap={cap} param {k}",
+            )
+
+
+def test_boundary_cap_requires_pool_sampler():
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    model = TransE(P_PARTS * 16, 4, 8)
+    sampler = FixedCorruptions([])
+    with pytest.raises(ValueError, match="shared-pool"):
+        make_partitioned_pairwise_step(
+            model, AdaGrad(), sampler, 1.0, mesh, boundary_cap=8
+        )
