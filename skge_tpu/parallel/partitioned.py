@@ -33,7 +33,12 @@ the triples whose SUBJECT it owns (data.partition_edges). Consequences:
   table, and the <= C+K non-owned rows (boundary objects + non-owned
   pool entities) travel via one all_gather of (P, C+K, d) and an
   owner-filtered scatter — NO n_e-sized transient, so the entity table
-  per chip is bounded by S = n_e/P, the true billion-row regime.
+  per chip is bounded by S = n_e/P, the true billion-row regime;
+- `make_partitioned_epoch` is the epoch driver (the `make_epoch_fn`
+  equivalent): per-shard on-device shuffle + minibatch lax.scan of the
+  same step, with the cap clamped per minibatch to min(C, ceil(L/nb))
+  — safe because the request compaction prioritizes valid
+  gradient-carrying rows over shuffled-in padding.
 
 Distributed math is EXACTLY the single-device update (tests/
 test_partitioned.py): same duplicate-occurrence averaging, violation
@@ -92,19 +97,26 @@ def relabel_entities(
     return out, new_of_old, n_parts * s
 
 
-def object_boundary_cap(batches: np.ndarray, s_rows: int) -> int:
+def object_boundary_cap(
+    batches: np.ndarray, s_rows: int, mask: np.ndarray | None = None
+) -> int:
     """Exact max count, over shards, of NON-local object ids in `batches`.
 
     `batches` is the (P, L, 3) output of data.partition_edges on RELABELED
     triples (shard p owns rows [p*S, (p+1)*S)). Use the result (or any
-    larger value) as `boundary_cap` for make_partitioned_pairwise_step;
-    padding rows are counted too, since they flow through the same gather.
+    larger value) as `boundary_cap` for make_partitioned_pairwise_step /
+    make_partitioned_epoch. Pass `mask` to count only valid rows — the
+    request compaction prioritizes valid non-local rows, so masked padding
+    never consumes cap slots.
     """
     b = np.asarray(batches)
     caps = []
     for p in range(b.shape[0]):
         obj = b[p, :, 1]
-        caps.append(int(np.sum((obj < p * s_rows) | (obj >= (p + 1) * s_rows))))
+        nonlocal_ = (obj < p * s_rows) | (obj >= (p + 1) * s_rows)
+        if mask is not None:
+            nonlocal_ = nonlocal_ & (np.asarray(mask)[p] > 0)
+        caps.append(int(np.sum(nonlocal_)))
     return max(caps) if caps else 0
 
 
@@ -132,6 +144,28 @@ def make_partitioned_pairwise_step(
     the cap silently contribute zero, so size it from the data, not a
     guess.
     """
+    epname, s_rows, shared, state_spec = _prep(
+        model, opt, mesh, sampler, boundary_cap
+    )
+    local_step = _build_local_step(
+        model, opt, sampler, margin, epname, s_rows, shared, boundary_cap
+    )
+
+    def block_step(state: TrainState, batch, mask):
+        return local_step(state, batch[0], mask[0])  # strip (1, L, ...) block
+
+    smapped = jax.shard_map(
+        block_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
+        out_specs=(state_spec, StepMetrics(loss=P(), nviolations=P())),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
+def _prep(model, opt, mesh, sampler, boundary_cap):
+    """Shared validation + PartitionSpecs for the partitioned builders."""
     by_role = {role: pname for _, pname, role in model.slot_spec()}
     epname = by_role["s"]
     assert epname == by_role["o"]
@@ -163,10 +197,17 @@ def make_partitioned_pairwise_step(
         key=P(),
         step=P(),
     )
+    return epname, s_rows, shared, state_spec
+
+
+def _build_local_step(
+    model, opt, sampler, margin, epname, s_rows, shared, boundary_cap
+):
+    """Per-shard step body: (state, (L, 3) batch, (L,) mask) -> updated
+    state + globally-psum'd metrics. Runs inside shard_map."""
+    n_e = model.n_entities
 
     def local_step(state: TrainState, batch, mask):
-        batch = batch[0]  # (1, L, 3) -> (L, 3)
-        mask = mask[0]
         params = state.params
         me = jax.lax.axis_index(SHARD_AXIS)
         row_off = me * s_rows
@@ -202,13 +243,15 @@ def make_partitioned_pairwise_step(
             """Compacted boundary exchange: fetch only the <= C non-local
             ids through the collective; local ids gather locally.
 
-            argsort on the ownership mask packs non-owned positions first
-            (static shapes; padding slots re-request owned ids, whose
-            exchanged answer equals the local row, so the final `set` is
-            value-identical for them)."""
+            argsort packs VALID non-owned positions first (static shapes;
+            masked padding rows must not consume cap slots — their scores
+            carry zero loss/gradient either way). Surplus slots re-request
+            other rows, whose exchanged answer equals the correct row, so
+            the final `set` is value-identical for them."""
             local = idx - row_off
             own = jnp.logical_and(local >= 0, local < s_rows)
-            req_pos = jnp.argsort(own)[:boundary_cap]   # non-owned first
+            needed = jnp.logical_and(~own, mask > 0)
+            req_pos = jnp.argsort(~needed)[:boundary_cap]  # needed first
             all_req = jax.lax.all_gather(
                 idx[req_pos], SHARD_AXIS
             )                                           # (P, C) ids — tiny
@@ -268,10 +311,16 @@ def make_partitioned_pairwise_step(
                     (s_rows, aug.shape[1]), grads.dtype
                 ).at[jnp.where(own, local, s_rows)].add(aug, mode="drop")
                 gcap = boundary_cap + pool_idx.shape[0]
-                npos = jnp.argsort(own)[:gcap]          # non-owned first
-                # zero the padding slots (owned rows already scattered
+                # prioritize non-owned rows CARRYING gradient (masked /
+                # non-violating rows are all-zero and lose nothing when
+                # dropped), so <= C valid boundary objects + <= K pool
+                # rows always fit the cap even after shuffling
+                nonzero = jnp.any(aug != 0, axis=1)
+                needed = jnp.logical_and(~own, nonzero)
+                npos = jnp.argsort(~needed)[:gcap]      # needed first
+                # zero the surplus slots (owned rows already scattered
                 # above — without this they would double-count)
-                nb_aug = aug[npos] * (~own[npos]).astype(grads.dtype)[:, None]
+                nb_aug = aug[npos] * needed[npos].astype(grads.dtype)[:, None]
                 all_ids = jax.lax.all_gather(
                     idx[npos], SHARD_AXIS
                 ).reshape(-1)                           # (P*(C+K),)
@@ -319,8 +368,71 @@ def make_partitioned_pairwise_step(
         new_state = TrainState(new_params, new_opt, key, state.step + 1)
         return new_state, StepMetrics(loss=loss, nviolations=nviol)
 
+    return local_step
+
+
+def make_partitioned_epoch(
+    model: KGEModel,
+    opt: Optimizer,
+    sampler: Callable,
+    margin: float,
+    mesh: Mesh,
+    length: int,
+    nbatches: int,
+    boundary_cap: int | None = None,
+):
+    """Jitted epoch over partitioned batches: per-shard on-device shuffle
+    + minibatch scan of the partitioned step (the `make_epoch_fn`
+    equivalent for the edge-partitioned path).
+
+    Call: `epoch(state, batches, mask)` with the SAME (P, L, 3) / (P, L)
+    inputs as the single step; returns (state, StepMetrics) with (nb,)
+    per-minibatch metric arrays. Each shard shuffles its OWN triples
+    (subjects stay shard-local by construction) with a per-shard fold of
+    the epoch key; the scalar step RNG stream stays replicated across
+    shards exactly as in the single-step path.
+
+    `boundary_cap` is clamped per minibatch to min(C, ceil(L/nb)), which
+    is always sufficient: the request compaction prioritizes VALID
+    non-local rows, so shuffled-in padding rows never consume cap slots,
+    and a minibatch cannot contain more valid non-local objects than the
+    whole shard batch (<= C) or than its own size.
+    """
+    epname, s_rows, shared, state_spec = _prep(
+        model, opt, mesh, sampler, boundary_cap
+    )
+    batch_size = -(-length // nbatches)
+    padded = nbatches * batch_size
+    cap = None if boundary_cap is None else min(boundary_cap, batch_size)
+    local_step = _build_local_step(
+        model, opt, sampler, margin, epname, s_rows, shared, cap
+    )
+
+    def local_epoch(state: TrainState, batch, mask):
+        batch = batch[0]  # (1, L, 3) -> (L, 3)
+        mask = mask[0]
+        key, pk = jax.random.split(state.key)
+        state = state._replace(key=key)
+        me = jax.lax.axis_index(SHARD_AXIS)
+        perm = jax.random.permutation(jax.random.fold_in(pk, me), length)
+        pad_idx = jnp.concatenate(
+            [perm, jnp.zeros((padded - length,), perm.dtype)]
+        )
+        mask_flat = (
+            jnp.arange(padded) < length
+        ).astype(mask.dtype) * mask[pad_idx]
+        mbs = batch[pad_idx].reshape(nbatches, batch_size, batch.shape[1])
+        mms = mask_flat.reshape(nbatches, batch_size)
+
+        def body(st, bm):
+            b, m = bm
+            return local_step(st, b, m)
+
+        state, metrics = jax.lax.scan(body, state, (mbs, mms))
+        return state, metrics
+
     smapped = jax.shard_map(
-        local_step,
+        local_epoch,
         mesh=mesh,
         in_specs=(state_spec, P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
         out_specs=(state_spec, StepMetrics(loss=P(), nviolations=P())),

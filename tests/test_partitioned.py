@@ -223,3 +223,96 @@ def test_boundary_cap_requires_pool_sampler():
         make_partitioned_pairwise_step(
             model, AdaGrad(), sampler, 1.0, mesh, boundary_cap=8
         )
+
+
+def test_partitioned_epoch_single_minibatch_matches_step():
+    """make_partitioned_epoch with nbatches=1 shuffles row order inside the
+    one minibatch but computes the same row-sum math: identical violation
+    counts and params equal to fp64 reassociation noise vs the plain step
+    (FixedPool ignores the RNG, so the extra shuffle key split is moot)."""
+    from skge_tpu.parallel.partitioned import (
+        make_partitioned_epoch, object_boundary_cap,
+    )
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(61, 5, n_train=400, seed=7, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    batches_np, mask_np, _ = partition_edges(rel, _range_part(n_pad, s), P_PARTS)
+    cap = object_boundary_cap(batches_np, s, mask_np)
+    batches = jnp.asarray(batches_np)
+    mask = jnp.asarray(mask_np, jnp.float64)
+    L = batches.shape[1]
+
+    model = TransE(n_pad, ds.n_relations, 16, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    rng = np.random.default_rng(11)
+    sampler = FixedPool(jnp.asarray(rng.integers(0, n_pad, 7), jnp.int32))
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+
+    step = make_partitioned_pairwise_step(
+        model, opt, sampler, 0.7, mesh, boundary_cap=cap
+    )
+    sstate = shard_state_partitioned(
+        init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+    )
+    sstate, sm = step(sstate, batches, mask)
+
+    epoch = make_partitioned_epoch(
+        model, opt, sampler, 0.7, mesh, length=L, nbatches=1,
+        boundary_cap=cap,
+    )
+    estate = shard_state_partitioned(
+        init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+    )
+    estate, em = epoch(estate, batches, mask)
+    assert em.nviolations.shape == (1,)
+    assert int(em.nviolations[0]) == int(sm.nviolations)
+    for k in sstate.params:
+        np.testing.assert_allclose(
+            np.asarray(estate.params[k]), np.asarray(sstate.params[k]),
+            rtol=1e-9, atol=1e-12, err_msg=f"param {k}",
+        )
+
+
+def test_partitioned_epoch_minibatched_converges():
+    """Multi-minibatch epochs with the compacted exchange + a real shared
+    sampler must run and reduce violations (cap clamps to min(C, Lb))."""
+    from skge_tpu import SharedNegativeSampler
+    from skge_tpu.parallel.partitioned import (
+        make_partitioned_epoch, object_boundary_cap,
+    )
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(90, 4, n_train=700, seed=5, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    batches_np, mask_np, _ = partition_edges(rel, _range_part(n_pad, s), P_PARTS)
+    cap = max(1, object_boundary_cap(batches_np, s, mask_np))
+    batches = jnp.asarray(batches_np)
+    mask = jnp.asarray(mask_np, jnp.float64)
+
+    model = TransE(n_pad, ds.n_relations, 16, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    sampler = SharedNegativeSampler(n_pad, k=32)
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    epoch = make_partitioned_epoch(
+        model, opt, sampler, 0.5, mesh, length=batches.shape[1],
+        nbatches=4, boundary_cap=cap,
+    )
+    state = shard_state_partitioned(
+        init_state(model, opt, jax.random.PRNGKey(0)), model, mesh
+    )
+    first = last = None
+    for _ in range(6):
+        state, m = epoch(state, batches, mask)
+        tot = float(jnp.sum(m.nviolations))
+        first = tot if first is None else first
+        last = tot
+    assert m.nviolations.shape == (4,)
+    assert last < 0.7 * first, (first, last)
+    assert np.isfinite(np.asarray(state.params["E"])).all()
