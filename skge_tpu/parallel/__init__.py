@@ -19,8 +19,24 @@ from skge_tpu.parallel.shardmap_step import (
     make_shardmap_pairwise_step,
     shard_state_shardmap,
 )
+from skge_tpu.parallel.partitioned import (
+    SHARD_AXIS,
+    make_partitioned_epoch,
+    make_partitioned_pairwise_step,
+    make_shard_mesh,
+    object_boundary_cap,
+    relabel_entities,
+    shard_state_partitioned,
+)
 
 __all__ = [
+    "SHARD_AXIS",
+    "make_partitioned_epoch",
+    "make_partitioned_pairwise_step",
+    "make_shard_mesh",
+    "object_boundary_cap",
+    "relabel_entities",
+    "shard_state_partitioned",
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",
