@@ -21,6 +21,8 @@ from skge_tpu.parallel.shardmap_step import (
 )
 from skge_tpu.parallel.partitioned import (
     SHARD_AXIS,
+    PartitionedTrainer,
+    RelabeledPoolSampler,
     make_partitioned_epoch,
     make_partitioned_pairwise_step,
     make_shard_mesh,
@@ -31,6 +33,8 @@ from skge_tpu.parallel.partitioned import (
 
 __all__ = [
     "SHARD_AXIS",
+    "PartitionedTrainer",
+    "RelabeledPoolSampler",
     "make_partitioned_epoch",
     "make_partitioned_pairwise_step",
     "make_shard_mesh",

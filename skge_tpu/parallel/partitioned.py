@@ -469,3 +469,112 @@ def shard_state_partitioned(
         key=jax.device_put(state.key, NamedSharding(mesh, P())),
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
     )
+
+
+class RelabeledPoolSampler:
+    """Shared negative pool over REAL entities in relabeled id space.
+
+    Draws ORIGINAL entity ids uniformly and maps them through
+    `new_of_old`, so the padding rows that contiguous relabeling inserts
+    are never sampled — matching the reference's corruption over real
+    entities only (skge/sample.py ~35). Identical on every shard (drawn
+    from the replicated step key), as the partitioned step requires.
+    """
+
+    modes = (0, 1)
+
+    def __init__(self, new_of_old: np.ndarray, k: int = 1024):
+        self._map = jnp.asarray(np.asarray(new_of_old), jnp.int32)
+        self.k = int(k)
+
+    def pool(self, key, pos, mask):
+        u = jax.random.randint(key, (self.k,), 0, self._map.shape[0])
+        return self._map[u]
+
+
+class PartitionedTrainer:
+    """Host-facing convenience around the partitioned SPMD path.
+
+    Takes a triple list in ORIGINAL entity ids, partitions entities
+    (community-aware), relabels them to contiguous per-shard ownership,
+    builds the compacted-exchange epoch over `mesh`, and maps trained
+    parameters back to original ids for evaluation/saving — the same
+    in/out contract as `outofcore.OutOfCoreTrainer`, but scaling across
+    devices instead of across host memory.
+    """
+
+    def __init__(
+        self,
+        model: KGEModel,
+        opt: Optimizer,
+        triples: np.ndarray,
+        mesh: Mesh,
+        margin: float = 1.0,
+        k: int = 1024,
+        nbatches: int = 100,
+        seed: int = 0,
+    ):
+        from dataclasses import replace
+
+        from skge_tpu.data import greedy_entity_partition, partition_edges
+        from skge_tpu.training import init_state
+
+        n_shards = mesh.shape[SHARD_AXIS]
+        t = np.asarray(triples, np.int32)
+        part = (
+            greedy_entity_partition(t, model.n_entities, n_shards, seed=seed)
+            if n_shards > 1
+            else np.zeros(model.n_entities, np.int32)
+        )
+        rel, self.new_of_old, n_pad = relabel_entities(t, part, n_shards)
+        s = n_pad // n_shards
+        owner = (np.arange(n_pad) // s).astype(np.int32)
+        batches, mask, self.stats = partition_edges(rel, owner, n_shards)
+        cap = max(1, object_boundary_cap(batches, s, mask))
+        self.full_model = model
+        self.model = replace(model, n_entities=n_pad)
+        sampler = RelabeledPoolSampler(self.new_of_old, k=k)
+        length = batches.shape[1]
+        self._epoch = make_partitioned_epoch(
+            self.model, opt, sampler, margin, mesh,
+            length=length, nbatches=max(1, min(nbatches, length)),
+            boundary_cap=cap,
+        )
+        self._state = shard_state_partitioned(
+            init_state(self.model, opt, jax.random.PRNGKey(seed)),
+            self.model, mesh,
+        )
+        self._batches = jnp.asarray(batches)
+        self._mask = jnp.asarray(mask, self.model.dtype)
+        self._metrics: list = []
+
+    def fit(self, epochs: int = 1, verbose: bool = False):
+        for _ in range(epochs):
+            self._state, m = self._epoch(
+                self._state, self._batches, self._mask
+            )
+            self._metrics.append(
+                {
+                    "epoch": len(self._metrics),
+                    "loss": float(jnp.sum(m.loss)),
+                    "nviolations": float(jnp.sum(m.nviolations)),
+                }
+            )
+            if verbose:
+                print(self._metrics[-1], flush=True)
+        return self
+
+    @property
+    def metrics(self):
+        return list(self._metrics)
+
+    def params(self):
+        """Host params with the entity table back in ORIGINAL ids (use
+        with the original-size model for evaluation/saving)."""
+        out = {}
+        for name, v in self._state.params.items():
+            arr = np.asarray(jax.device_get(v))
+            if arr.shape[:1] == (self.model.n_entities,):
+                arr = arr[self.new_of_old]
+            out[name] = arr
+        return out

@@ -316,3 +316,35 @@ def test_partitioned_epoch_minibatched_converges():
     assert m.nviolations.shape == (4,)
     assert last < 0.7 * first, (first, last)
     assert np.isfinite(np.asarray(state.params["E"])).all()
+
+
+def test_partitioned_trainer_end_to_end():
+    """PartitionedTrainer: original-id triples in, trained original-id
+    params out; pool never samples relabeling padding rows."""
+    from skge_tpu import SharedNegativeSampler  # noqa: F401 (API neighbors)
+    from skge_tpu.parallel.partitioned import (
+        PartitionedTrainer, RelabeledPoolSampler,
+    )
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(90, 4, n_train=700, seed=5, clustered=True)
+    model = TransE(ds.n_entities, ds.n_relations, 16)
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    tr = PartitionedTrainer(
+        model, AdaGrad(lr=0.1), ds.train, mesh, margin=0.5, k=32,
+        nbatches=4, seed=0,
+    )
+    tr.fit(epochs=6)
+    ms = tr.metrics
+    assert len(ms) == 6
+    assert ms[-1]["nviolations"] < 0.7 * ms[0]["nviolations"], ms
+    params = tr.params()
+    assert params["E"].shape == (ds.n_entities, 16)
+    assert np.isfinite(params["E"]).all()
+
+    # the real-entity pool never draws padding rows
+    sampler = RelabeledPoolSampler(tr.new_of_old, k=256)
+    pool = np.asarray(sampler.pool(jax.random.PRNGKey(3), None, None))
+    real_rows = set(int(x) for x in tr.new_of_old)
+    assert all(int(x) in real_rows for x in pool)
