@@ -250,10 +250,11 @@ class OutOfCoreTrainer:
         return self._epochs[diag]
 
     # -- device part cache: up to `cache_parts` partitions stay on device
-    # between buckets. The sorted bucket order shares a part between
-    # consecutive buckets, so with a 2-slot cache roughly half the
-    # host->device uploads (and the matching downloads) disappear;
-    # downloads only happen on eviction and at fit()/params() boundaries.
+    # between buckets. The chained bucket order (_bucket_order) shares a
+    # part between consecutive buckets whenever the bucket graph allows,
+    # so each transition costs at most one upload (bound pinned in
+    # tests/test_outofcore.py); downloads only happen on eviction and at
+    # fit()/params() boundaries.
     def _fetch_part(self, p: int):
         if p in self._cache:
             self._lru.remove(p)
