@@ -23,6 +23,7 @@ from skge_tpu.parallel.partitioned import (
     SHARD_AXIS,
     PartitionedTrainer,
     RelabeledPoolSampler,
+    init_state_partitioned,
     make_partitioned_epoch,
     make_partitioned_pairwise_step,
     make_shard_mesh,
@@ -30,9 +31,12 @@ from skge_tpu.parallel.partitioned import (
     relabel_entities,
     shard_state_partitioned,
 )
+from skge_tpu.parallel import distributed
 
 __all__ = [
     "SHARD_AXIS",
+    "distributed",
+    "init_state_partitioned",
     "PartitionedTrainer",
     "RelabeledPoolSampler",
     "make_partitioned_epoch",

@@ -164,11 +164,31 @@ def make_partitioned_pairwise_step(
     return jax.jit(smapped, donate_argnums=(0,))
 
 
-def _prep(model, opt, mesh, sampler, boundary_cap):
-    """Shared validation + PartitionSpecs for the partitioned builders."""
+def partitioned_state_specs(model, opt):
+    """(epname, per-param PartitionSpecs, TrainState-of-PartitionSpecs)
+    for the partitioned placement: entity table row-sharded over 'shard',
+    everything else replicated."""
     by_role = {role: pname for _, pname, role in model.slot_spec()}
     epname = by_role["s"]
     assert epname == by_role["o"]
+    specs = {}
+    for _, pname, role in model.slot_spec():
+        specs[pname] = P(SHARD_AXIS) if pname == epname else P()
+    for pname in model.dense_param_names:
+        specs[pname] = P()
+    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
+    state_spec = TrainState(
+        params=dict(specs),
+        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
+        key=P(),
+        step=P(),
+    )
+    return epname, specs, state_spec
+
+
+def _prep(model, opt, mesh, sampler, boundary_cap):
+    """Shared validation + PartitionSpecs for the partitioned builders."""
+    epname, _, state_spec = partitioned_state_specs(model, opt)
     p_size = mesh.shape[SHARD_AXIS]
     n_e = model.n_entities
     if n_e % p_size != 0:
@@ -184,19 +204,6 @@ def _prep(model, opt, mesh, sampler, boundary_cap):
             "corruption gather is ~uniformly non-local; compaction only "
             "pays when most object rows are shard-local)"
         )
-
-    specs = {}
-    for _, pname, role in model.slot_spec():
-        specs[pname] = P(SHARD_AXIS) if pname == epname else P()
-    for pname in model.dense_param_names:
-        specs[pname] = P()
-    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
-    state_spec = TrainState(
-        params=dict(specs),
-        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
-        key=P(),
-        step=P(),
-    )
     return epname, s_rows, shared, state_spec
 
 
@@ -441,6 +448,33 @@ def make_partitioned_epoch(
     return jax.jit(smapped, donate_argnums=(0,))
 
 
+def init_state_partitioned(
+    model: KGEModel, opt: Optimizer, key, mesh: Mesh
+) -> TrainState:
+    """Initialize a TrainState DIRECTLY into the partitioned placement.
+
+    `jax.jit` with `out_shardings` lets GSPMD materialize each shard on
+    its owner device — no full-table transient on one device (the
+    single-device `init_state` + `device_put` pattern breaks the
+    "entity table per chip bounded by S" guarantee at init time), and it
+    is the only correct path under multi-process execution, where
+    `device_put` cannot place onto non-addressable devices. Values are
+    bit-identical to `init_state(model, opt, key)` — same traced
+    computation, only the output placement differs.
+    """
+    from skge_tpu.training import init_state
+
+    _, _, state_spec = partitioned_state_specs(model, opt)
+    sh = jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        state_spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    fn = jax.jit(lambda k: init_state(model, opt, k), out_shardings=sh)
+    with mesh:
+        return fn(key)
+
+
 def shard_state_partitioned(
     state: TrainState, model: KGEModel, mesh: Mesh
 ) -> TrainState:
@@ -501,6 +535,15 @@ class PartitionedTrainer:
     parameters back to original ids for evaluation/saving — the same
     in/out contract as `outofcore.OutOfCoreTrainer`, but scaling across
     devices instead of across host memory.
+
+    Multi-process aware: pass a mesh built over the GLOBAL device list
+    after `parallel.distributed.initialize()`. Partitioning is pure
+    deterministic NumPy, so every process computes the same layout and
+    then feeds only its own shards' triples
+    (`distributed.make_global_batches`); state is initialized straight
+    into its sharded placement (`init_state_partitioned`); `params()`
+    allgathers across processes. tests/test_multiprocess.py pins the
+    2-process trajectory to the single-process one in fp64.
     """
 
     def __init__(
@@ -517,7 +560,7 @@ class PartitionedTrainer:
         from dataclasses import replace
 
         from skge_tpu.data import greedy_entity_partition, partition_edges
-        from skge_tpu.training import init_state
+        from skge_tpu.parallel import distributed as dist
 
         n_shards = mesh.shape[SHARD_AXIS]
         t = np.asarray(triples, np.int32)
@@ -540,12 +583,13 @@ class PartitionedTrainer:
             length=length, nbatches=max(1, min(nbatches, length)),
             boundary_cap=cap,
         )
-        self._state = shard_state_partitioned(
-            init_state(self.model, opt, jax.random.PRNGKey(seed)),
-            self.model, mesh,
+        self._state = init_state_partitioned(
+            self.model, opt, jax.random.PRNGKey(seed), mesh
         )
-        self._batches = jnp.asarray(batches)
-        self._mask = jnp.asarray(mask, self.model.dtype)
+        mine = dist.local_shard_ids(mesh)
+        self._batches, self._mask = dist.make_global_batches(
+            batches[mine], mask[mine].astype(self.model.dtype), mesh
+        )
         self._metrics: list = []
 
     def fit(self, epochs: int = 1, verbose: bool = False):
@@ -570,10 +614,13 @@ class PartitionedTrainer:
 
     def params(self):
         """Host params with the entity table back in ORIGINAL ids (use
-        with the original-size model for evaluation/saving)."""
+        with the original-size model for evaluation/saving). Works across
+        processes (allgather of the row-sharded table)."""
+        from skge_tpu.parallel import distributed as dist
+
         out = {}
         for name, v in self._state.params.items():
-            arr = np.asarray(jax.device_get(v))
+            arr = dist.host_replicate(v)
             if arr.shape[:1] == (self.model.n_entities,):
                 arr = arr[self.new_of_old]
             out[name] = arr

@@ -1,0 +1,84 @@
+"""Multi-host execution without a cluster (SURVEY.md §4 item 5, §2.3
+"Communication backend" row): two REAL OS processes, each owning two
+virtual CPU devices, joined by `jax.distributed.initialize` (Gloo
+collectives), must reproduce the 1-process 4-device fp64 trajectory of
+the partitioned trainer bit-exactly — the program is the same SPMD
+computation either way; only the process→device mapping changes.
+
+Workers run in subprocesses (tests/mp_worker.py) because platform and
+device-count flags must be set before jax's backend initializes, and
+this pytest process already holds an 8-device CPU backend.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+_WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _env():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _run(extra, timeout=420):
+    return subprocess.run(
+        [sys.executable, _WORKER] + extra,
+        env=_env(), capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_two_process_trajectory_matches_single(tmp_path):
+    single = tmp_path / "single.npz"
+    multi = tmp_path / "multi.npz"
+
+    r = _run(["--out", str(single), "--devices", "4"])
+    assert r.returncode == 0, f"single-process worker failed:\n{r.stderr[-3000:]}"
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, _WORKER,
+                "--out", str(multi), "--devices", "2",
+                "--coordinator", f"localhost:{port}",
+                "--nproc", "2", "--pid", str(pid),
+            ],
+            env=_env(), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{err[-3000:]}"
+
+    a = np.load(single)
+    b = np.load(multi)
+    assert set(a.files) == set(b.files)
+    for k in a.files:
+        if k == "loss":
+            # the scalar loss metric crosses a psum whose cross-process
+            # (Gloo) reduction order may differ from the single-process
+            # one by a final-ulp reassociation; parameters must still be
+            # bit-exact (and are — their reductions are per-row scatter
+            # adds with a fixed order).
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-14)
+        else:
+            np.testing.assert_array_equal(
+                a[k], b[k],
+                err_msg=f"{k} diverged between 1- and 2-process runs",
+            )
