@@ -1,0 +1,214 @@
+"""Compiled-HLO evidence of collective/compute overlap in the partitioned
+step (SURVEY.md §7 hard part (e): boundary exchange overlapped with
+scoring).
+
+Multi-chip TPU hardware is not reachable from this container, but the TPU
+compiler is: `jax.experimental.topologies.get_topology_desc` gives an
+AOT compile-only target (here a v5e 2x4 slice), and the POST-SCHEDULING
+HLO it returns lists ops in execution order, with each async collective
+split into `async-collective-start` / `async-collective-done` and
+`estimated_cycles` attached to every compute fusion. Overlap is then a
+measurable property of the schedule: the sum of compute cycles issued
+between a collective's start and its done is work the chip performs
+while the ICI transfer is in flight.
+
+Usage:
+    python scripts/inspect_overlap.py [--boundary-cap C] [--no-overlap]
+
+Prints, per collective in the step schedule: kind, payload bytes, and
+overlapped compute cycles; then a totals line. `--no-overlap` compiles
+the step with `overlap=False` (strictly phased exchange) for an A/B of
+the schedules. The async conversion needs the async-collective-fusion
+flags below — they are the same flags `parallel.partitioned` documents
+for production runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+ASYNC_FLAGS = {
+    "xla_tpu_enable_async_collective_fusion": "true",
+    "xla_tpu_async_collective_fusion_with_start_done_only": "true",
+    "xla_tpu_async_collective_fusion_fuse_multiple_collectives": "true",
+    "xla_tpu_enable_async_collective_fusion_fuse_all_gather": "true",
+    "xla_tpu_enable_async_collective_fusion_fuse_all_reduce": "true",
+    "xla_tpu_enable_async_collective_fusion_fuse_reduce_scatter": "true",
+    "xla_tpu_enable_async_all_to_all": "true",
+}
+
+_SHAPE_RE = re.compile(r"(f32|bf16|s32|u32|pred)\[([\d,]*)\]")
+
+
+def _bytes_of(line: str) -> int:
+    total = 0
+    m = _SHAPE_RE.search(line.split("=", 1)[-1])
+    if not m:
+        return 0
+    dt, dims = m.groups()
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    total = n * (1 if dt == "pred" else 4 if dt in ("f32", "s32", "u32") else 2)
+    return total
+
+
+def _cycles_of(line: str) -> int:
+    m = re.search(r'"estimated_cycles":"(\d+)"', line)
+    return int(m.group(1)) if m else 0
+
+
+_COLL_KINDS = ("all-gather", "all-reduce", "reduce-scatter", "all-to-all",
+               "collective-permute")
+_START_RE = re.compile(
+    r"= .*?(?:async-collective-start|(?:%s)-start)\("
+    % "|".join(_COLL_KINDS)
+)
+_DONE_RE = re.compile(
+    r"= .*?(?:async-collective-done|(?:%s)-done)\((%%[\w.\-]+)\)"
+    % "|".join(_COLL_KINDS)
+)
+_SYNC_RE = re.compile(r"= .*? (%s)\(" % "|".join(_COLL_KINDS))
+
+
+def analyze(hlo: str):
+    """Parse the scheduled ENTRY computation; return per-collective overlap.
+
+    The TPU backend's final HLO is in schedule order; an async collective
+    appears as `<kind>-start` ... `<kind>-done` (or the async-collective-
+    fusion pass's `async-collective-start/done` wrappers). Everything
+    issued between a start and its done executes while the transfer is in
+    flight — summing those ops' `estimated_cycles` measures the overlap
+    the scheduler achieved.
+    """
+    entry = hlo.split("ENTRY")[-1].splitlines()
+    open_starts = {}  # op name -> record
+    records = []
+    sync_colls = []
+    for line in entry:
+        line = line.strip()
+        if not (line.startswith("%") or line.startswith("ROOT")):
+            continue
+        name = line.lstrip("ROOT ").split(" = ")[0].strip()
+        if _START_RE.search(line):
+            kind = "collective"
+            for k in _COLL_KINDS:
+                if k in line:
+                    kind = k
+                    break
+            open_starts[name] = {
+                "start": name, "kind": kind, "bytes": _bytes_of(line),
+                "overlap_cycles": 0, "ops_between": 0,
+            }
+        elif (m := _DONE_RE.search(line)):
+            src = m.group(1)
+            rec = None
+            if src in open_starts:
+                rec = open_starts.pop(src)
+            elif open_starts:  # done consumes a GTE of the start tuple
+                for k in list(open_starts):
+                    if k.split(".")[-1] in line:
+                        rec = open_starts.pop(k)
+                        break
+                if rec is None:
+                    rec = open_starts.popitem()[1]
+            if rec:
+                records.append(rec)
+        elif (sm := _SYNC_RE.search(line)):
+            sync_colls.append({
+                "kind": sm.group(1),
+                "bytes": _bytes_of(line),
+            })
+        else:
+            cyc = _cycles_of(line)
+            if cyc:
+                for rec in open_starts.values():
+                    rec["overlap_cycles"] += cyc
+                    rec["ops_between"] += 1
+    return records, sync_colls
+
+
+def build_step(boundary_cap: int, overlap: bool):
+    import jax
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import jax.numpy as jnp
+    from skge_tpu import AdaGrad, TransE
+    from skge_tpu.parallel.partitioned import (
+        SHARD_AXIS,
+        RelabeledPoolSampler,
+        make_partitioned_pairwise_step,
+        partitioned_state_specs,
+    )
+    from skge_tpu.training import TrainState
+
+    topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4")
+    mesh = Mesh(np.asarray(topo.devices), (SHARD_AXIS,))
+    p_, s_rows, d = 8, 4096, 128
+    n_e = p_ * s_rows
+    model = TransE(n_entities=n_e, n_relations=64, ncomp=d)
+    opt = AdaGrad(lr=0.1)
+    sampler = RelabeledPoolSampler(np.arange(n_e), k=512)
+    step = make_partitioned_pairwise_step(
+        model, opt, sampler, 1.0, mesh,
+        boundary_cap=boundary_cap, overlap=overlap,
+    )
+    _, _, spec = partitioned_state_specs(model, opt)
+    sh = jax.tree.map(
+        lambda sp: NamedSharding(mesh, sp), spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+    def sds(shape, dt, s):
+        return jax.ShapeDtypeStruct(shape, dt, sharding=s)
+
+    state = TrainState(
+        params={"E": sds((n_e, d), jnp.float32, sh.params["E"]),
+                "R": sds((64, d), jnp.float32, sh.params["R"])},
+        opt_state={"E": {"p2": sds((n_e, d), jnp.float32, sh.params["E"])},
+                   "R": {"p2": sds((64, d), jnp.float32, sh.params["R"])}},
+        key=sds((2,), jnp.uint32, sh.key),
+        step=sds((), jnp.int32, sh.step),
+    )
+    L = 2048
+    batch = sds((p_, L, 3), jnp.int32,
+                NamedSharding(mesh, P(SHARD_AXIS, None, None)))
+    mask = sds((p_, L), jnp.float32, NamedSharding(mesh, P(SHARD_AXIS)))
+    return step.lower(state, batch, mask).compile(compiler_options=ASYNC_FLAGS)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--boundary-cap", type=int, default=256)
+    ap.add_argument("--no-overlap", action="store_true")
+    ap.add_argument("--dump", default=None, help="write full HLO here")
+    args = ap.parse_args()
+    compiled = build_step(args.boundary_cap, overlap=not args.no_overlap)
+    hlo = compiled.as_text()
+    if args.dump:
+        open(args.dump, "w").write(hlo)
+    records, sync = analyze(hlo)
+    print(f"{'kind':<20}{'bytes':>12}{'overlap cycles':>16}{'ops inside':>12}")
+    tot = 0
+    for r in sorted(records, key=lambda r: -r["bytes"]):
+        print(f"{r['kind']:<20}{r['bytes']:>12}{r['overlap_cycles']:>16}"
+              f"{r['ops_between']:>12}")
+        tot += r["overlap_cycles"]
+    for r in sorted(sync, key=lambda r: -r["bytes"]):
+        print(f"{r['kind'] + ' (SYNC)':<20}{r['bytes']:>12}{'-':>16}{'-':>12}")
+    n_async = len(records)
+    n_sync = len(sync)
+    big_sync = sum(1 for r in sync if r["bytes"] >= 1 << 20)
+    print(f"\nasync collectives: {n_async}; sync: {n_sync} "
+          f"(>=1MiB sync: {big_sync}); total overlapped compute cycles: {tot}")
+    if not args.no_overlap and big_sync:
+        print("WARNING: large collectives remain synchronous", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,7 @@ def make_partitioned_pairwise_step(
     margin: float,
     mesh: Mesh,
     boundary_cap: int | None = None,
+    overlap: bool = True,
 ):
     """Jitted partition-aligned pairwise step.
 
@@ -143,12 +144,27 @@ def make_partitioned_pairwise_step(
     per-shard non-local object count (`object_boundary_cap`); rows beyond
     the cap silently contribute zero, so size it from the data, not a
     guess.
+
+    `overlap` (default True) expresses the answer exchange as
+    `all_to_all` + a local one-nonzero-per-row sum instead of a
+    `psum`/`psum_scatter` reduction. Row values are bitwise identical
+    (every request row has exactly one owner; the others contribute
+    zeros), but the collective becomes one the TPU compiler's
+    async-collective-fusion pass can split into start/done and hide
+    behind scoring compute that does not depend on the fetched object
+    rows (the mode-1 pool matmul needs only subject + pool rows). It
+    also halves the exchange volume of the non-compacted path
+    (all-reduce moves ~2x an all-to-all). Evidence of the resulting
+    schedule: scripts/inspect_overlap.py (AOT v5e:2x4 compile; counts
+    compute cycles scheduled inside each collective's in-flight window).
+    SURVEY.md §7 hard part (e).
     """
     epname, s_rows, shared, state_spec = _prep(
         model, opt, mesh, sampler, boundary_cap
     )
     local_step = _build_local_step(
-        model, opt, sampler, margin, epname, s_rows, shared, boundary_cap
+        model, opt, sampler, margin, epname, s_rows, shared, boundary_cap,
+        overlap,
     )
 
     def block_step(state: TrainState, batch, mask):
@@ -208,7 +224,8 @@ def _prep(model, opt, mesh, sampler, boundary_cap):
 
 
 def _build_local_step(
-    model, opt, sampler, margin, epname, s_rows, shared, boundary_cap
+    model, opt, sampler, margin, epname, s_rows, shared, boundary_cap,
+    overlap=True,
 ):
     """Per-shard step body: (state, (L, 3) batch, (L,) mask) -> updated
     state + globally-psum'd metrics. Runs inside shard_map."""
@@ -217,6 +234,7 @@ def _build_local_step(
     def local_step(state: TrainState, batch, mask):
         params = state.params
         me = jax.lax.axis_index(SHARD_AXIS)
+        p_sz = jax.lax.axis_size(SHARD_AXIS)
         row_off = me * s_rows
 
         def local_rows(idx):
@@ -228,19 +246,40 @@ def _build_local_step(
                 own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
             )
 
-        def gather(pname, idx):
+        def _exchange(answers):
+            """(P*T, d) per-shard answer blocks -> (T, d) rows for MY
+            requests. Every row has exactly ONE owning shard; the other
+            shards contribute exact zeros, so the all_to_all + sum is
+            value-identical to the psum_scatter reduction — but
+            all_to_all is async-fusable (overlappable with scoring) and
+            moves half the bytes of an all-reduce."""
+            if overlap:
+                blocks = answers.reshape((p_sz, -1) + answers.shape[1:])
+                recv = jax.lax.all_to_all(
+                    blocks, SHARD_AXIS, split_axis=0, concat_axis=0
+                )                                       # (P, T, d): per-owner
+                return jnp.sum(recv, axis=0)
+            return jax.lax.psum_scatter(
+                answers, SHARD_AXIS, scatter_dimension=0, tiled=True
+            )
+
+        def gather(pname, idx, role=None):
             if pname != epname:
                 return params[pname][idx]
-            # subject ids are local by construction, but corruption ids are
-            # not — resolve ownership generically: local part + exchange.
-            # Identical-ids case (pool / same idx on all shards) would need
-            # only the psum; differing ids need the request exchange.
+            if role == "s":
+                # subjects are shard-local BY CONSTRUCTION (partition_edges
+                # groups triples by the subject's owner): a direct local
+                # gather, no collective. Saves one full exchange per step.
+                return params[epname][idx - row_off]
+            # object / corruption ids are not local — resolve ownership
+            # generically: local part + exchange. Identical-ids case
+            # (pool / same idx on all shards) would need only the psum;
+            # differing ids need the request exchange.
             all_ids = jax.lax.all_gather(idx, SHARD_AXIS)       # (P, T)
             answers = local_rows(all_ids.reshape(-1))           # (P*T, d)
-            answers = jax.lax.psum(answers, SHARD_AXIS)
-            return answers.reshape(all_ids.shape + answers.shape[1:])[me]
+            return _exchange(answers)                           # (T, d)
 
-        def gather_replicated(pname, idx):
+        def gather_replicated(pname, idx, role=None):
             """Cheaper path when ids are identical on every shard (pool)."""
             if pname != epname:
                 return params[pname][idx]
@@ -263,9 +302,7 @@ def _build_local_step(
                 idx[req_pos], SHARD_AXIS
             )                                           # (P, C) ids — tiny
             answers = local_rows(all_req.reshape(-1))   # (P*C, d)
-            mine = jax.lax.psum_scatter(
-                answers, SHARD_AXIS, scatter_dimension=0, tiled=True
-            )                                           # (C, d): my requests
+            mine = _exchange(answers)                   # (C, d): my requests
             rows = params[epname][jnp.clip(local, 0, s_rows - 1)]
             rows = jnp.where(own[:, None], rows, 0)
             return rows.at[req_pos].set(mine)
@@ -276,12 +313,14 @@ def _build_local_step(
             # pool drawn from the UNFOLDED key: identical across shards
             pool_idx = sampler.pool(sk, batch, mask)
 
-            def g(pname, idx):
+            def g(pname, idx, role=None):
                 if idx is pool_idx:
                     return gather_replicated(pname, idx)
+                if role == "s" and pname == epname:
+                    return params[epname][idx - row_off]  # local (see gather)
                 if boundary_cap is not None and pname == epname:
                     return gather_compact(idx)
-                return gather(pname, idx)
+                return gather(pname, idx, role)
 
             loss, nviol, occ, g_dense = pairwise_grads_shared(
                 model, params, batch, pool_idx, mask, margin,
@@ -387,6 +426,7 @@ def make_partitioned_epoch(
     length: int,
     nbatches: int,
     boundary_cap: int | None = None,
+    overlap: bool = True,
 ):
     """Jitted epoch over partitioned batches: per-shard on-device shuffle
     + minibatch scan of the partitioned step (the `make_epoch_fn`
@@ -412,7 +452,7 @@ def make_partitioned_epoch(
     padded = nbatches * batch_size
     cap = None if boundary_cap is None else min(boundary_cap, batch_size)
     local_step = _build_local_step(
-        model, opt, sampler, margin, epname, s_rows, shared, cap
+        model, opt, sampler, margin, epname, s_rows, shared, cap, overlap
     )
 
     def local_epoch(state: TrainState, batch, mask):

@@ -122,7 +122,7 @@ def make_shardmap_pairwise_step(
         params = state.params
         row_off = jax.lax.axis_index(MODEL_AXIS) * shard_rows
 
-        def gather(pname, idx):
+        def gather(pname, idx, role=None):
             if pname != epname:
                 return params[pname][idx]
             local = idx - row_off

@@ -165,7 +165,7 @@ def pairwise_grads_fused(
     corruptions,            # [(mode, replacement (B,), valid (B,)), ...]
     mask: jnp.ndarray,      # (B,) batch validity
     margin: float,
-    gather: Optional[Callable] = None,  # (pname, idx) -> rows override
+    gather: Optional[Callable] = None,  # (pname, idx, role) -> rows override
 ):
     """Structurally-fused pairwise gradients — exact reference semantics,
     a fraction of the memory traffic.
@@ -194,10 +194,10 @@ def pairwise_grads_fused(
     b = pos.shape[0]
     n_corr = len(corruptions)
     if gather is None:
-        gather = lambda pname, idx: params[pname][idx]  # noqa: E731
+        gather = lambda pname, idx, role=None: params[pname][idx]  # noqa: E731
     role_idx_map = {"s": s, "o": o, "p": p}
     rows = {
-        slot: gather(pname, role_idx_map[role])
+        slot: gather(pname, role_idx_map[role], role)
         for slot, pname, role in model.slot_spec()
     }
     dense = model.dense_params(params)
@@ -212,7 +212,7 @@ def pairwise_grads_fused(
     cparam = slot_by_role["s"][1]
     assert cparam == slot_by_role["o"][1], "fused path assumes shared entity table"
     all_repl = jnp.concatenate([repl for _, repl, _ in corruptions])
-    crows_flat = gather(cparam, all_repl)  # (n_corr * B, d)
+    crows_flat = gather(cparam, all_repl, "corr")  # (n_corr * B, d)
     # slice OUTSIDE the differentiated function: static views, and the
     # backward pass yields per-corruption cotangents directly (no padded
     # dynamic-slice transpose buffers)
@@ -279,7 +279,7 @@ def pairwise_grads_shared(
     mask: jnp.ndarray,       # (B,) batch validity
     margin: float,
     modes: Tuple[int, ...] = (0, 1),
-    gather: Optional[Callable] = None,  # (pname, idx) -> rows override
+    gather: Optional[Callable] = None,  # (pname, idx, role) -> rows override
 ):
     """Shared-negative-pool pairwise gradients (PBG/DGL-KE scheme).
 
@@ -307,16 +307,16 @@ def pairwise_grads_shared(
     """
     s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
     if gather is None:
-        gather = lambda pname, idx: params[pname][idx]  # noqa: E731
+        gather = lambda pname, idx, role=None: params[pname][idx]  # noqa: E731
     role_idx_map = {"s": s, "o": o, "p": p}
     rows = {
-        slot: gather(pname, role_idx_map[role])
+        slot: gather(pname, role_idx_map[role], role)
         for slot, pname, role in model.slot_spec()
     }
     slot_by_role = {role: (slot, pname) for slot, pname, role in model.slot_spec()}
     epname = slot_by_role["s"][1]
     assert epname == slot_by_role["o"][1], "shared pool assumes one entity table"
-    pool_rows = gather(epname, pool_idx)  # (K, d)
+    pool_rows = gather(epname, pool_idx, "pool")  # (K, d)
     dense = model.dense_params(params)
     af = ACTIVATIONS[model.pairwise_af][0]
 
@@ -403,12 +403,12 @@ def pairwise_grads_shared_bilinear(
     assert model.pairwise_af == "linear", "factored path assumes raw scores"
     s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
     if gather is None:
-        gather = lambda pname, idx: params[pname][idx]  # noqa: E731
+        gather = lambda pname, idx, role=None: params[pname][idx]  # noqa: E731
     acc = jnp.promote_types(params["E"].dtype, jnp.float32)
-    es = gather("E", s)
-    eo = gather("E", o)
-    wp = gather("W", p)
-    pool = gather("E", pool_idx)  # (K, d)
+    es = gather("E", s, "s")
+    eo = gather("E", o, "o")
+    wp = gather("W", p, "p")
+    pool = gather("E", pool_idx, "pool")  # (K, d)
 
     q = jnp.einsum("bi,bij->bj", es, wp, preferred_element_type=acc)
     r = jnp.einsum("bij,bj->bi", wp, eo, preferred_element_type=acc)
@@ -496,16 +496,16 @@ def pointwise_grads_shared(
     """
     s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
     if gather is None:
-        gather = lambda pname, idx: params[pname][idx]  # noqa: E731
+        gather = lambda pname, idx, role=None: params[pname][idx]  # noqa: E731
     role_idx_map = {"s": s, "o": o, "p": p}
     rows = {
-        slot: gather(pname, role_idx_map[role])
+        slot: gather(pname, role_idx_map[role], role)
         for slot, pname, role in model.slot_spec()
     }
     slot_by_role = {role: (slot, pname) for slot, pname, role in model.slot_spec()}
     epname = slot_by_role["s"][1]
     assert epname == slot_by_role["o"][1], "shared pool assumes one entity table"
-    pool_rows = gather(epname, pool_idx)
+    pool_rows = gather(epname, pool_idx, "pool")
     dense = model.dense_params(params)
     k = pool_idx.shape[0]
 
@@ -572,12 +572,12 @@ def pointwise_grads_shared_bilinear(
     """
     s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
     if gather is None:
-        gather = lambda pname, idx: params[pname][idx]  # noqa: E731
+        gather = lambda pname, idx, role=None: params[pname][idx]  # noqa: E731
     acc = jnp.promote_types(params["E"].dtype, jnp.float32)
-    es = gather("E", s)
-    eo = gather("E", o)
-    wp = gather("W", p)
-    pool = gather("E", pool_idx)  # (K, d)
+    es = gather("E", s, "s")
+    eo = gather("E", o, "o")
+    wp = gather("W", p, "p")
+    pool = gather("E", pool_idx, "pool")  # (K, d)
     k = pool_idx.shape[0]
 
     q = jnp.einsum("bi,bij->bj", es, wp, preferred_element_type=acc)
