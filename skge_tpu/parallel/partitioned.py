@@ -367,12 +367,28 @@ def _build_local_step(
                 # zero the surplus slots (owned rows already scattered
                 # above — without this they would double-count)
                 nb_aug = aug[npos] * needed[npos].astype(grads.dtype)[:, None]
-                all_ids = jax.lax.all_gather(
-                    idx[npos], SHARD_AXIS
-                ).reshape(-1)                           # (P*(C+K),)
-                all_aug = jax.lax.all_gather(
-                    nb_aug, SHARD_AXIS
-                ).reshape(-1, aug.shape[1])
+                if overlap:
+                    # express the row broadcast as an all_to_all of P
+                    # identical blocks: received block p == shard p's
+                    # rows, exactly the all_gather layout — but the TPU
+                    # async-collective pass splits all_to_all into
+                    # start/done and hides it behind the owned-row
+                    # scatter + relation/dense updates (all-gather is
+                    # left synchronous; see scripts/inspect_overlap.py).
+                    def bcast_a2a(x):
+                        b = jnp.broadcast_to(x[None], (p_sz,) + x.shape)
+                        return jax.lax.all_to_all(
+                            b, SHARD_AXIS, split_axis=0, concat_axis=0
+                        )
+                    all_ids = bcast_a2a(idx[npos]).reshape(-1)
+                    all_aug = bcast_a2a(nb_aug).reshape(-1, aug.shape[1])
+                else:
+                    all_ids = jax.lax.all_gather(
+                        idx[npos], SHARD_AXIS
+                    ).reshape(-1)                       # (P*(C+K),)
+                    all_aug = jax.lax.all_gather(
+                        nb_aug, SHARD_AXIS
+                    ).reshape(-1, aug.shape[1])
                 lcl = all_ids - row_off
                 owng = jnp.logical_and(lcl >= 0, lcl < s_rows)
                 table = table.at[jnp.where(owng, lcl, s_rows)].add(
