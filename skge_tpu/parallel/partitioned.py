@@ -639,6 +639,7 @@ class PartitionedTrainer:
             length=length, nbatches=max(1, min(nbatches, length)),
             boundary_cap=cap,
         )
+        self._mesh = mesh
         self._state = init_state_partitioned(
             self.model, opt, jax.random.PRNGKey(seed), mesh
         )
@@ -667,6 +668,29 @@ class PartitionedTrainer:
     @property
     def metrics(self):
         return list(self._metrics)
+
+    def save(self, dirpath: str):
+        """Sharded checkpoint: each shard's rows go to their own file,
+        written by the process that owns them — no full-table host
+        gather (utils/checkpoint.py save_sharded_checkpoint)."""
+        from skge_tpu.utils.checkpoint import save_sharded_checkpoint
+
+        save_sharded_checkpoint(
+            dirpath, self._state,
+            meta={"epochs": len(self._metrics),
+                  "n_entities": int(self.full_model.n_entities)},
+        )
+        return self
+
+    def restore(self, dirpath: str):
+        """Resume from `save`; re-places shards per the current mesh (the
+        shard count may differ from the saving run's)."""
+        from skge_tpu.utils.checkpoint import load_sharded_checkpoint
+
+        state, meta = load_sharded_checkpoint(dirpath, self._mesh)
+        self._state = state
+        self._metrics = [{}] * int(meta.get("epochs", 0))
+        return self
 
     def params(self):
         """Host params with the entity table back in ORIGINAL ids (use

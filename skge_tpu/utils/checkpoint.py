@@ -28,13 +28,17 @@ from skge_tpu.training import TrainState
 _SEP = "::"  # flat key separator inside the npz
 
 
-def _flatten(prefix: str, tree) -> Dict[str, np.ndarray]:
+def _flatten(prefix: str, tree, keep: bool = False) -> Dict[str, np.ndarray]:
+    """Flatten a nested dict to 'a::b::c' keys. `keep=True` leaves device
+    arrays as-is (sharding preserved) instead of pulling them to host."""
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            out.update(_flatten(f"{prefix}{_SEP}{k}" if prefix else k, v))
+            out.update(
+                _flatten(f"{prefix}{_SEP}{k}" if prefix else k, v, keep)
+            )
     else:
-        out[prefix] = np.asarray(tree)
+        out[prefix] = tree if keep else np.asarray(tree)
     return out
 
 
@@ -72,6 +76,180 @@ def save_checkpoint(
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def save_sharded_checkpoint(
+    dirpath: str,
+    state: TrainState,
+    meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Per-shard checkpoint: no step ever materializes a full entity table
+    on one host (the whole point of the partitioned / out-of-core paths —
+    a full-table host gather is exactly what they exist to avoid).
+
+    Layout (host-count- AND shard-count-independent):
+
+        dirpath/manifest.json      n_shards, per-leaf row extents, meta
+        dirpath/replicated.npz     key, step, replicated leaves (rank 0)
+        dirpath/shard_{i:05d}.npz  row-slice of every sharded leaf
+
+    A leaf is "sharded" when its placement splits axis 0 (detected from
+    `jax.Array.addressable_shards` — works for any 1-D row sharding, the
+    partitioned trainer's layout). Each PROCESS writes only the shards its
+    devices own, so saving is distributed too; the manifest + replicated
+    file are written by process 0. Loading re-places per the CURRENT mesh
+    and shard count (`load_sharded_checkpoint`), reading only the row
+    ranges each process needs.
+    """
+    os.makedirs(dirpath, exist_ok=True)
+    flat = {}
+    flat.update(_flatten("params", state.params, keep=True))
+    flat.update(_flatten("opt", state.opt_state, keep=True))
+
+    sharded_rows: Dict[str, int] = {}   # leaf -> rows per saved shard
+    shapes: Dict[str, list] = {}
+    per_shard: Dict[int, Dict[str, np.ndarray]] = {}
+    replicated: Dict[str, np.ndarray] = {}
+    n_shards = 1
+    for name, v in flat.items():
+        shapes[name] = list(v.shape)
+        if (
+            not hasattr(v, "addressable_shards")
+            or v.sharding.is_fully_replicated
+        ):
+            replicated[name] = np.asarray(
+                v.addressable_shards[0].data
+                if hasattr(v, "addressable_shards") else v
+            )
+            continue
+        shards = v.addressable_shards
+        assert all(
+            (idx.start or 0) == 0
+            and idx.stop in (None, v.shape[i + 1])
+            for s in shards for i, idx in enumerate(s.index[1:])
+        ), f"{name}: only leading-axis (row) sharding is supported"
+        rows = v.shape[0]
+        seen = set()
+        s_rows = None
+        for s in shards:
+            start = s.index[0].start or 0
+            stop = s.index[0].stop if s.index[0].stop is not None else rows
+            s_rows = stop - start
+            sid = start // s_rows
+            if sid in seen:
+                continue
+            seen.add(sid)
+            per_shard.setdefault(sid, {})[name] = np.asarray(s.data)
+        sharded_rows[name] = int(s_rows)
+        n_shards = max(n_shards, rows // int(s_rows))
+
+    for sid, leaves in per_shard.items():
+        _atomic_savez(os.path.join(dirpath, f"shard_{sid:05d}.npz"), leaves)
+    if jax.process_index() == 0:
+        replicated["key"] = np.asarray(jax.random.key_data(state.key))
+        replicated["step"] = np.asarray(state.step)
+        _atomic_savez(os.path.join(dirpath, "replicated.npz"), replicated)
+        manifest = {
+            "n_shards": n_shards,
+            "sharded_rows": sharded_rows,
+            "shapes": shapes,
+            "meta": meta or {},
+        }
+        tmp = os.path.join(dirpath, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(dirpath, "manifest.json"))
+
+
+def _atomic_savez(path: str, arrays: Dict[str, np.ndarray]) -> None:
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_sharded_checkpoint(
+    dirpath: str, mesh, shard_axis: str = "shard"
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """Load a `save_sharded_checkpoint` directory onto `mesh`.
+
+    Sharded leaves are materialized with `jax.make_array_from_callback`:
+    each device's row range is read straight from the covering shard
+    file(s) — never a full host copy, works across process counts, and
+    re-chunks transparently when the current mesh has a different shard
+    count than the checkpoint (row ranges just span file boundaries).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    with open(os.path.join(dirpath, "manifest.json")) as f:
+        manifest = json.load(f)
+    with np.load(os.path.join(dirpath, "replicated.npz")) as z:
+        replicated = {k: z[k] for k in z.files}
+    key = jax.random.wrap_key_data(jnp.asarray(replicated.pop("key")))
+    step = jnp.asarray(replicated.pop("step"))
+
+    files: Dict[int, Any] = {}
+
+    def shard_file(sid: int):
+        if sid not in files:
+            files[sid] = np.load(
+                os.path.join(dirpath, f"shard_{sid:05d}.npz")
+            )
+        return files[sid]
+
+    def leaf(name: str):
+        shape = tuple(manifest["shapes"][name])
+        if name in replicated:
+            return jax.device_put(
+                jnp.asarray(replicated[name]),
+                NamedSharding(mesh, PartitionSpec()),
+            )
+        s_rows = manifest["sharded_rows"][name]
+        sharding = NamedSharding(
+            mesh, PartitionSpec(shard_axis, *([None] * (len(shape) - 1)))
+        )
+
+        def cb(index):
+            rs = index[0]
+            start = rs.start or 0
+            stop = rs.stop if rs.stop is not None else shape[0]
+            parts = []
+            f0, f1 = start // s_rows, (stop - 1) // s_rows
+            for sid in range(f0, f1 + 1):
+                arr = shard_file(sid)[name]
+                lo = max(start - sid * s_rows, 0)
+                hi = min(stop - sid * s_rows, s_rows)
+                parts.append(arr[lo:hi])
+            out = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            rest = tuple(index[1:])
+            return out[(slice(None),) + rest] if rest else out
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    names = set(manifest["shapes"])
+    tree = _unflatten({n: None for n in names})
+
+    def fill(prefix, node):
+        return {
+            k: fill(f"{prefix}{_SEP}{k}", v) if isinstance(v, dict)
+            else leaf(f"{prefix}{_SEP}{k}")
+            for k, v in node.items()
+        }
+
+    params = fill("params", tree["params"])
+    opt_state = fill("opt", tree["opt"])
+    for z in files.values():
+        z.close()
+    return (
+        TrainState(params, opt_state, key, step),
+        manifest.get("meta", {}),
+    )
 
 
 def load_checkpoint(path: str) -> Tuple[TrainState, Dict[str, Any]]:

@@ -164,3 +164,69 @@ def test_trainer_writes_checkpoint_and_metrics(tmp_path):
     lines = [json.loads(l) for l in open(jsonl)]
     assert len(lines) == 2
     assert {"epoch", "loss", "nviolations", "triples_per_second"} <= set(lines[0])
+
+
+def test_sharded_checkpoint_partitioned_resume(tmp_path):
+    """VERDICT r1 ask 5: a P=4-partitioned state is saved WITHOUT a
+    full-table host array (one npz per shard, each holding only its S
+    rows), restored onto the same mesh bit-exact, resumed to the same
+    trajectory as an uninterrupted run, and re-placed onto a DIFFERENT
+    shard count."""
+    import os
+
+    from skge_tpu.parallel.partitioned import (
+        PartitionedTrainer,
+        make_shard_mesh,
+    )
+    from skge_tpu.utils.checkpoint import load_sharded_checkpoint
+
+    ds = synthetic_kg(60, 4, n_train=400, seed=9, clustered=True)
+    model = TransE(ds.n_entities, ds.n_relations, ncomp=16, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    mesh = make_shard_mesh(jax.devices()[:4])
+
+    def mk():
+        return PartitionedTrainer(
+            model, opt, ds.train, mesh, margin=0.5, k=32, nbatches=5, seed=2
+        )
+
+    full = mk().fit(epochs=4)
+
+    t = mk().fit(epochs=2)
+    ckdir = str(tmp_path / "sharded")
+    t.save(ckdir)
+
+    # layout: per-shard files with only S rows each, no full-table file
+    import json
+
+    manifest = json.load(open(os.path.join(ckdir, "manifest.json")))
+    assert manifest["n_shards"] == 4
+    s_rows = manifest["sharded_rows"]["params::E"]
+    assert s_rows * 4 == t.model.n_entities
+    shard0 = np.load(os.path.join(ckdir, "shard_00000.npz"))
+    assert shard0["params::E"].shape[0] == s_rows
+    with np.load(os.path.join(ckdir, "replicated.npz")) as z:
+        assert "params::E" not in z.files  # entity table never gathered
+        assert "params::R" in z.files
+
+    # restore bit-exact + resume == uninterrupted
+    t2 = mk().restore(ckdir)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(t2._state.params["E"])),
+        np.asarray(jax.device_get(t._state.params["E"])),
+    )
+    t2.fit(epochs=2)
+    for k in full._state.params:
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(t2._state.params[k])),
+            np.asarray(jax.device_get(full._state.params[k])),
+            err_msg=f"{k} diverged after sharded-checkpoint resume",
+        )
+
+    # re-place onto a 2-shard mesh: same values, different chunking
+    mesh2 = make_shard_mesh(jax.devices()[:2])
+    state2, _ = load_sharded_checkpoint(ckdir, mesh2)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(state2.params["E"])),
+        np.asarray(jax.device_get(t._state.params["E"])),
+    )
