@@ -95,6 +95,15 @@ def make_shardmap_pairwise_step(
     `state` entity tables must be placed with `shard_state_shardmap`; batch
     and mask sharded over 'data'. Supports the `pool` (shared-negative) and
     `corruptions` (iid) sampler protocols.
+
+    Sampling happens OUTSIDE shard_map on the global batch, from the same
+    `split(state.key)` stream as the single-device step — so a mesh run's
+    trajectory is the single-device trajectory (same negatives for the
+    same rows; each data shard just receives its slice of the global
+    draws). The update math reduces per-shard scatter tables with
+    psum('data') before the duplicate-count averaging, which reorders
+    only exact zero-padding adds. Trajectory parity is pinned in
+    tests/test_trainer_mesh.py.
     """
     epname = _entity_param(model)
     n_e = model.n_entities
@@ -118,7 +127,7 @@ def make_shardmap_pairwise_step(
     )
     metrics_spec = StepMetrics(loss=P(), nviolations=P())
 
-    def local_step(state: TrainState, batch, mask):
+    def local_step(modes, state: TrainState, batch, mask, draws):
         params = state.params
         row_off = jax.lax.axis_index(MODEL_AXIS) * shard_rows
 
@@ -133,18 +142,16 @@ def make_shardmap_pairwise_step(
             )
             return jax.lax.psum(rows, MODEL_AXIS)
 
-        key, sk = jax.random.split(state.key)
-        # decorrelate draws across data shards; keep them identical within a
-        # model group (gather indices must agree there)
-        dk = jax.random.fold_in(sk, jax.lax.axis_index(DATA_AXIS))
+        key = state.key  # already advanced by the global-sampling wrapper
         if shared:
-            pool_idx = sampler.pool(dk, batch, mask)
+            (pool_idx,) = draws
             loss, nviol, occ, g_dense = pairwise_grads_shared(
                 model, params, batch, pool_idx, mask, margin,
-                modes=sampler.modes, gather=gather,
+                modes=modes, gather=gather,
             )
         else:
-            corr = sampler.corruptions(dk, batch, mask)
+            repls, valids = draws
+            corr = list(zip(modes, repls, valids))
             loss, nviol, occ, g_dense = pairwise_grads_fused(
                 model, params, batch, corr, mask, margin, gather=gather
             )
@@ -196,14 +203,39 @@ def make_shardmap_pairwise_step(
         new_state = TrainState(new_params, new_opt, key, state.step + 1)
         return new_state, StepMetrics(loss=loss, nviolations=nviol)
 
-    smapped = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(state_spec, P(DATA_AXIS, None), P(DATA_AXIS)),
-        out_specs=(state_spec, metrics_spec),
-        check_vma=False,
-    )
-    return jax.jit(smapped, donate_argnums=(0,))
+    def step(state: TrainState, batch, mask):
+        # global sampling: the SAME split(state.key) stream as the
+        # single-device step — draws for row i equal the single-device
+        # draws for row i, whatever the mesh shape.
+        key, sk = jax.random.split(state.key)
+        state = state._replace(key=key)
+        if shared:
+            modes = tuple(sampler.modes)
+            draws = (sampler.pool(sk, batch, mask),)
+            draws_spec = (P(),)  # one global pool, replicated
+        else:
+            corr = sampler.corruptions(sk, batch, mask)
+            modes = tuple(m for m, _, _ in corr)  # static at trace time
+            draws = (
+                tuple(r for _, r, _ in corr),
+                tuple(v for _, _, v in corr),
+            )
+            draws_spec = (
+                tuple(P(DATA_AXIS) for _ in modes),   # replacement ids
+                tuple(P(DATA_AXIS) for _ in modes),   # validity masks
+            )
+        smapped = jax.shard_map(
+            partial(local_step, modes),
+            mesh=mesh,
+            in_specs=(
+                state_spec, P(DATA_AXIS, None), P(DATA_AXIS), draws_spec,
+            ),
+            out_specs=(state_spec, metrics_spec),
+            check_vma=False,
+        )
+        return smapped(state, batch, mask, draws)
+
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def shard_state_shardmap(

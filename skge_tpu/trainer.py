@@ -114,6 +114,12 @@ class Trainer:
         self._epoch_fn = jax.jit(make_epoch_fn(step, n_triples, nb))
 
     def _build_mesh_epoch(self, n_triples: int):
+        """On-device epoch over the mesh step: the SAME shuffle + scan as
+        the single-device `make_epoch_fn` (same state-key stream), with
+        each batch padded by masked rows up to a 'data'-axis multiple.
+        Because the mesh steps sample GLOBALLY from the same key stream,
+        the sharded trajectory is the single-device trajectory
+        (tests/test_trainer_mesh.py pins it in fp64)."""
         from skge_tpu.parallel.mesh import DATA_AXIS
         from skge_tpu.parallel.sharded import make_sharded_pointwise_step
         from skge_tpu.parallel.shardmap_step import make_shardmap_pairwise_step
@@ -129,30 +135,7 @@ class Trainer:
             )
         nb = min(cfg.nbatches, n_triples)
         d_size = self.mesh.shape[DATA_AXIS]
-        bs = -(-n_triples // nb)
-        bs += (-bs) % d_size  # batch divisible across the data axis
-
-        def epoch(state: TrainState, xs):
-            xs = np.asarray(xs)
-            rng = np.random.default_rng(
-                (cfg.seed, int(jax.device_get(state.step)))
-            )
-            perm = rng.permutation(n_triples)
-            pad = nb * bs - n_triples
-            idx = np.concatenate([perm, np.zeros(pad, np.int64)])
-            mask_all = (np.arange(nb * bs) < n_triples).astype(np.float32)
-            losses, nviols = [], []
-            for b in range(nb):
-                batch = jnp.asarray(xs[idx[b * bs : (b + 1) * bs]])
-                mask = jnp.asarray(mask_all[b * bs : (b + 1) * bs])
-                state, m = step(state, batch, mask)
-                losses.append(m.loss)
-                nviols.append(m.nviolations)
-            return state, StepMetrics(
-                loss=jnp.stack(losses), nviolations=jnp.stack(nviols)
-            )
-
-        return epoch
+        return jax.jit(make_epoch_fn(step, n_triples, nb, pad_to=d_size))
 
     def fit(
         self,

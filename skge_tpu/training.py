@@ -922,9 +922,21 @@ def make_pointwise_step(
 # compiles ONCE and runs nbatches steps per epoch inside lax.scan.
 # ---------------------------------------------------------------------------
 
-def make_epoch_fn(step_fn: Callable, n_triples: int, nbatches: int):
+def make_epoch_fn(
+    step_fn: Callable, n_triples: int, nbatches: int, pad_to: int = 1
+):
+    """On-device epoch: shuffle from the state key, split into `nbatches`
+    masked minibatches, lax.scan `step_fn` over them.
+
+    `pad_to` (for mesh steps whose batch axis must divide the 'data' axis)
+    pads EVERY batch up to a multiple with masked dummy rows — batch
+    membership of real rows is unchanged, and masked rows contribute
+    exact zeros to every scatter/count, so the trajectory is the pad_to=1
+    trajectory whenever the sampler's per-row draws are
+    position-stable (JAX's partitionable threefry is)."""
     batch_size = -(-n_triples // nbatches)
     padded = nbatches * batch_size
+    bs2 = batch_size + (-batch_size) % pad_to
 
     def epoch(state: TrainState, xs: jnp.ndarray):
         """xs: (n_triples, 3) int32 device array."""
@@ -937,8 +949,13 @@ def make_epoch_fn(step_fn: Callable, n_triples: int, nbatches: int):
         mask_flat = (
             jnp.arange(padded) < n_triples
         ).astype(jnp.float32)
-        batches = xs[pad_idx].reshape(nbatches, batch_size, xs.shape[1])
+        b_idx = pad_idx.reshape(nbatches, batch_size)
         masks = mask_flat.reshape(nbatches, batch_size)
+        if bs2 != batch_size:
+            extra = bs2 - batch_size
+            b_idx = jnp.pad(b_idx, ((0, 0), (0, extra)))
+            masks = jnp.pad(masks, ((0, 0), (0, extra)))
+        batches = xs[b_idx]
 
         def body(st, bm):
             b, m = bm

@@ -1,0 +1,83 @@
+"""Trainer(mesh=...) trajectory parity (VERDICT r1 ask 7): the mesh epoch
+is the same on-device shuffle+scan as the single-device path, and the mesh
+steps sample globally from the same key stream — so the sharded trainer
+must reproduce the single-device fp64 trajectory.
+"""
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import pytest  # noqa: E402
+
+from skge_tpu import RandomModeSampler, SharedNegativeSampler, TransE  # noqa: E402
+from skge_tpu.data import synthetic_kg  # noqa: E402
+from skge_tpu.parallel import make_mesh  # noqa: E402
+from skge_tpu.trainer import TrainConfig, Trainer  # noqa: E402
+
+
+def _fit(ds, model, sampler, mesh, **cfg_kw):
+    cfg = TrainConfig(max_epochs=3, margin=0.3, seed=11, **cfg_kw)
+    t = Trainer(model, sampler, cfg, mesh=mesh)
+    state = t.fit(ds.train)
+    return state, t
+
+
+@pytest.mark.parametrize("shape", [(2, 2), (4, 1), (2, 4)])
+def test_mesh_trainer_matches_single_device_pairwise(shape):
+    # nbatches chosen so batch_size divides the data axis: the masked
+    # per-batch padding stays inactive and the comparison is exact.
+    ds = synthetic_kg(48, 4, n_train=320, seed=2)
+    model = TransE(ds.n_entities, ds.n_relations, ncomp=12, dtype="float64")
+    sampler = RandomModeSampler(ds.n_entities, modes=(0, 1))
+    single, t1 = _fit(ds, model, sampler, None, nbatches=4)
+    mesh = make_mesh(jax.devices()[: shape[0] * shape[1]], shape=shape)
+    sharded, t2 = _fit(ds, model, sampler, mesh, nbatches=4)
+    assert t1.nviolations == t2.nviolations
+    for k in single.params:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(sharded.params[k])),
+            np.asarray(single.params[k]),
+            rtol=1e-12, atol=1e-13,
+            err_msg=f"{k}: mesh {shape} trajectory diverged",
+        )
+
+
+def test_mesh_trainer_padded_batches_match_single_device():
+    """Batch size NOT divisible by the data axis: every batch gets masked
+    dummy rows. Masked rows contribute exact zeros, and JAX's
+    partitionable threefry draws are position-stable under a longer
+    shape, so the trajectory still matches bitwise-tight."""
+    ds = synthetic_kg(48, 4, n_train=330, seed=3)  # 330/4 = 83 (odd)
+    model = TransE(ds.n_entities, ds.n_relations, ncomp=12, dtype="float64")
+    sampler = SharedNegativeSampler(ds.n_entities, k=16)
+    single, t1 = _fit(ds, model, sampler, None, nbatches=4)
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    sharded, t2 = _fit(ds, model, sampler, mesh, nbatches=4)
+    assert t1.nviolations == t2.nviolations
+    for k in single.params:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(sharded.params[k])),
+            np.asarray(single.params[k]),
+            rtol=1e-12, atol=1e-13,
+            err_msg=f"{k}: padded mesh trajectory diverged",
+        )
+
+
+def test_mesh_trainer_pointwise_matches_single_device():
+    ds = synthetic_kg(48, 4, n_train=320, seed=5)
+    model = TransE(ds.n_entities, ds.n_relations, ncomp=12, dtype="float64")
+    sampler = RandomModeSampler(ds.n_entities, modes=(0, 1))
+    single, _ = _fit(ds, model, sampler, None, nbatches=4, pairwise=False)
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    sharded, _ = _fit(ds, model, sampler, mesh, nbatches=4, pairwise=False)
+    for k in single.params:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(sharded.params[k])),
+            np.asarray(single.params[k]),
+            rtol=1e-12, atol=1e-13,
+            err_msg=f"{k}: pointwise mesh trajectory diverged",
+        )
