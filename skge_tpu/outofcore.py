@@ -152,12 +152,23 @@ class OutOfCoreTrainer:
         aggregate: str = "dense",
         seed: int = 0,
         cache_parts: int = 2,
+        pairwise: bool = True,
+        prefetch: bool = True,
     ):
+        """`pairwise=False` trains with the pointwise logistic loss
+        (StochasticTrainer semantics, skge/base.py ~180) over the same
+        bucket scheme — negatives still drawn from the resident parts.
+        `prefetch` (needs `cache_parts` > 2 to have a free slot) starts the
+        NEXT bucket's missing part upload right after the current bucket's
+        epoch is dispatched, hiding host->device transfer behind compute
+        (dispatch is async; H2D copies run on the transfer engine)."""
         assert cache_parts >= 2, "off-diagonal buckets need 2 resident parts"
         self.full_model = model
         self.opt = opt
         self.margin = margin
         self.aggregate = aggregate
+        self.pairwise = pairwise
+        self.prefetch = prefetch
         t = np.asarray(triples, np.int32)
 
         part = (
@@ -210,15 +221,36 @@ class OutOfCoreTrainer:
         # PRNG split order matches training.init_state (params from the
         # first subkey, sampling from the second) so the P=1 degenerate
         # case takes the EXACT in-core trajectory.
+        #
+        # The init runs on the CPU backend: the full table must exist in
+        # HOST memory anyway (that is this class's storage), and a default-
+        # device init would materialize the whole padded table plus its
+        # accumulator in accelerator HBM — an immediate OOM at the
+        # 10^8-10^9-entity scale this module exists for. Threefry bit
+        # generation and the elementwise init transforms are deterministic
+        # integer/float ops, so values are identical across backends (the
+        # P=1 bit-exactness test runs through this path).
         init_key, dev_key = jax.random.split(jax.random.PRNGKey(seed))
         padded_model = replace(model, n_entities=n_parts * s)
-        params = padded_model.init_params(init_key)
-        ostate = opt.init(params)
-        self.e_host = {"param": np.array(params["E"])}
-        for name, arr in ostate["E"].items():
-            self.e_host[name] = np.array(arr)
-        self.dev_params = {kk: v for kk, v in params.items() if kk != "E"}
-        self.dev_opt = {kk: v for kk, v in ostate.items() if kk != "E"}
+        try:
+            host_dev = jax.devices("cpu")[0]
+        except RuntimeError:  # cpu platform masked out (JAX_PLATFORMS)
+            host_dev = jax.devices()[0]
+        with jax.default_device(host_dev):
+            params = padded_model.init_params(init_key)
+            ostate = opt.init(params)
+            self.e_host = {"param": np.array(params["E"])}
+            for name, arr in ostate["E"].items():
+                self.e_host[name] = np.array(arr)
+        # small tables move to the accelerator; the entity table stays host
+        self.dev_params = {
+            kk: jnp.asarray(np.asarray(v))
+            for kk, v in params.items() if kk != "E"
+        }
+        self.dev_opt = {
+            kk: {n: jnp.asarray(np.asarray(a)) for n, a in v.items()}
+            for kk, v in ostate.items() if kk != "E"
+        }
         self.key = dev_key
         self.step = jnp.zeros((), jnp.int32)
         self.cache_parts = cache_parts
@@ -238,10 +270,17 @@ class OutOfCoreTrainer:
             sampler = BucketPoolSampler(
                 slot_stride=0 if diag else self.part_size, k=self.k
             )
-            step = make_pairwise_step(
-                bucket_model, self.opt, sampler, self.margin,
-                aggregate=self.aggregate,
-            )
+            if self.pairwise:
+                step = make_pairwise_step(
+                    bucket_model, self.opt, sampler, self.margin,
+                    aggregate=self.aggregate,
+                )
+            else:
+                from skge_tpu.training import make_pointwise_step
+
+                step = make_pointwise_step(
+                    bucket_model, self.opt, sampler, self.aggregate
+                )
             nb = max(1, min(self.nbatches, self.bucket_len))
             self._epochs[diag] = jax.jit(
                 make_bucket_epoch(step, self.bucket_len, nb),
@@ -365,8 +404,21 @@ class OutOfCoreTrainer:
         order = self._bucket_order()
         for ep in range(epochs):
             tot_loss = tot_viol = 0.0
-            for (pi, pj) in order:
+            for b, (pi, pj) in enumerate(order):
                 loss, nviol = self._bucket_epoch(pi, pj)
+                # epoch dispatch is async: start the next bucket's missing
+                # part upload NOW so the H2D copy rides the transfer engine
+                # while this bucket computes. Only into a FREE cache slot —
+                # evicting would device_get rows the running epoch still
+                # owns, forcing a sync.
+                if self.prefetch:
+                    nxt = order[(b + 1) % len(order)]
+                    for p in dict.fromkeys(nxt):
+                        if (
+                            p not in self._cache
+                            and len(self._cache) < self.cache_parts
+                        ):
+                            self._fetch_part(p)
                 tot_loss = tot_loss + loss
                 tot_viol = tot_viol + nviol
             self._metrics.append(
