@@ -37,6 +37,15 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="append results to this md file")
     ap.add_argument("--models", default=None,
                     help="comma-separated subset, e.g. 'TransE-L1,HolE'")
+    ap.add_argument(
+        "--sampler", default="shared", choices=["shared", "random-mode"],
+        help="'random-mode' = the REFERENCE scheme (iid corruption per "
+        "positive) at the reference hyperparams margin=0.2 lr=0.1 — the "
+        "decoupling run from VERDICT r1 ask 4: shared-pool hyperparameter "
+        "sensitivity vs reference-semantics correctness",
+    )
+    ap.add_argument("--negatives", type=int, default=2,
+                    help="[random-mode] negatives per (positive, mode)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -48,8 +57,8 @@ def main() -> None:
     import numpy as np
 
     from skge_tpu import (
-        AdaGrad, SharedNegativeSampler, init_state, make_epoch_fn,
-        make_pairwise_step,
+        AdaGrad, RandomModeSampler, SharedNegativeSampler, init_state,
+        make_epoch_fn, make_pairwise_step,
     )
     from skge_tpu.data import latent_kg
     from skge_tpu.evaluation import FilteredRankingEval
@@ -86,12 +95,20 @@ def main() -> None:
         ("ComplEx", ComplEx(ds.n_entities, ds.n_relations, 75), 0.5, 0.3, 2048),
     ]
 
+    if args.sampler == "random-mode":
+        # reference operating point: iid corruption, margin 0.2, lr 0.1
+        configs = [(n, m, 0.2, 0.1, None) for n, m, _, _, _ in configs]
     if args.models:
         want = {m.strip() for m in args.models.split(",")}
         configs = [c for c in configs if c[0] in want]
     rows = []
     for name, model, margin, lr, k in configs:
-        sampler = SharedNegativeSampler(ds.n_entities, k=k or args.k)
+        if args.sampler == "random-mode":
+            sampler = RandomModeSampler(
+                ds.n_entities, modes=(0, 1) * args.negatives
+            )
+        else:
+            sampler = SharedNegativeSampler(ds.n_entities, k=k or args.k)
         opt = AdaGrad(lr=lr)
         step = make_pairwise_step(
             model, opt, sampler, margin=margin, aggregate="dense"
@@ -118,8 +135,12 @@ def main() -> None:
         rows.append(row)
         print(json.dumps(row), flush=True)
         if args.out:  # append incrementally so timeouts lose nothing
+            tag = (
+                f"iid x{args.negatives} m=0.2 lr=0.1"
+                if args.sampler == "random-mode" else f"k={k or args.k}"
+            )
             header = (
-                f"| {name} k={k or args.k} ep={args.epochs} | {row['mrr']} | "
+                f"| {name} {tag} ep={args.epochs} | {row['mrr']} | "
                 f"{row['mrr_raw']} | {row['hits1']} | {row['hits3']} | "
                 f"{row['hits10']} | {row['mr']} | {row['train_s']} |\n"
             )

@@ -76,7 +76,7 @@ def ranking_scores(
 
 def _rank_kernel(
     model: KGEModel, direction: str, mesh=None, axis="model",
-    ties: str = "mean",
+    ties: str = "mean", candidate_mask=None,
 ):
     """Jitted per-batch kernel: (params, batch, frows, fents) -> raw/filt ranks.
 
@@ -104,6 +104,11 @@ def _rank_kernel(
         from jax.sharding import NamedSharding, PartitionSpec
 
         col_sharded = NamedSharding(mesh, PartitionSpec(None, axis))
+    # `candidate_mask` ((n_e,) bool): entities that may compete. Used by the
+    # partitioned/relabeled eval, where the contiguous per-shard layout
+    # inserts untrained padding rows that must never outrank real entities.
+    # Targets are always real, so masking before ranking is exact.
+    cmask = None if candidate_mask is None else jnp.asarray(candidate_mask)
 
     def kernel(params, batch, frows, fents):
         s, o, p = batch[:, 0], batch[:, 1], batch[:, 2]
@@ -113,6 +118,8 @@ def _rank_kernel(
         else:
             scores = model.score_all_s(params, o, p)
             target = s
+        if cmask is not None:
+            scores = jnp.where(cmask[None, :], scores, NEG_INF)
         if mesh is not None:
             scores = jax.lax.with_sharding_constraint(scores, col_sharded)
         b = scores.shape[0]
@@ -182,6 +189,7 @@ class FilteredRankingEval:
         mesh=None,
         axis: str = "model",
         ties: str = "mean",
+        candidate_mask=None,
     ):
         self.model = model
         self.hits_at = tuple(hits_at)
@@ -190,8 +198,8 @@ class FilteredRankingEval:
         sp_o, op_s = true_triple_index(np.asarray(known))
         self._index = {"o": sp_o, "s": op_s}
         self._kernels = {
-            "o": _rank_kernel(model, "o", mesh, axis, ties),
-            "s": _rank_kernel(model, "s", mesh, axis, ties),
+            "o": _rank_kernel(model, "o", mesh, axis, ties, candidate_mask),
+            "s": _rank_kernel(model, "s", mesh, axis, ties, candidate_mask),
         }
 
         # batch layout: pad the last batch by repeating row 0 (masked out)

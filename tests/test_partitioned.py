@@ -348,3 +348,27 @@ def test_partitioned_trainer_end_to_end():
     pool = np.asarray(sampler.pool(jax.random.PRNGKey(3), None, None))
     real_rows = set(int(x) for x in tr.new_of_old)
     assert all(int(x) in real_rows for x in pool)
+
+
+def test_partitioned_eval_matches_host_eval():
+    """trainer.evaluate ranks on the SHARDED relabeled table (padding
+    candidates masked, columns sharded over 'shard') and must equal the
+    host-side original-id evaluation of the gathered params."""
+    from skge_tpu import AdaGrad
+    from skge_tpu.evaluation import evaluate
+    from skge_tpu.parallel.partitioned import PartitionedTrainer
+
+    ds = synthetic_kg(61, 5, n_train=500, n_test=60, seed=21, clustered=True)
+    model = TransE(ds.n_entities, ds.n_relations, 16, dtype="float64")
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    tr = PartitionedTrainer(
+        model, AdaGrad(lr=0.1), ds.train, mesh, margin=0.5, k=32,
+        nbatches=5, seed=7,
+    ).fit(epochs=2)
+
+    got = tr.evaluate(ds.test, ds.all_triples(), batch_size=16)
+    want = evaluate(model, tr.params(), ds.test, ds.all_triples(),
+                    batch_size=16)
+    np.testing.assert_array_equal(got.ranks, want.ranks)
+    np.testing.assert_array_equal(got.ranks_raw, want.ranks_raw)
+    assert got.mrr == want.mrr
