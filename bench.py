@@ -49,7 +49,7 @@ def main() -> None:
     ap.add_argument("--ntrain", type=int, default=483142)
     ap.add_argument(
         "--aggregate", default="dense",
-        choices=["unique", "dense", "dense_pallas"],
+        choices=["unique", "dense", "dense_pallas", "dense_sorted"],
         help="gradient aggregation path. 'dense' = fused XLA table scatter; "
         "'dense_pallas' = VMEM-resident pallas scatter kernel "
         "(ops/pallas_segment.py, single-chip, ~1.35x over XLA scatter for "

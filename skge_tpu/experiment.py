@@ -234,7 +234,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=1024,
                    help="shared-pool size (--sampler shared)")
     p.add_argument("--aggregate", default="unique",
-                   choices=["unique", "dense", "dense_pallas"],
+                   choices=["unique", "dense", "dense_pallas", "dense_sorted"],
                    help="gradient aggregation backend (dense_pallas = "
                    "single-chip Pallas scatter kernel)")
     p.add_argument("--mode", default="rank", choices=["rank", "none"])

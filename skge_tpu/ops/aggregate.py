@@ -233,6 +233,19 @@ def segment_mean_dense(
             table = jnp.zeros((num_rows, aug.shape[1]), g.dtype).at[
                 indices
             ].add(aug, mode="drop")
+    elif backend == "sorted":
+        # sort + banded one-hot MXU matmul (ops/sorted_segment.py): beats
+        # the XLA scatter ~1.2x at FB15k shapes with BETTER precision
+        # (pure fp32 band trees), pure XLA ops — no pallas required.
+        # fp32-only; other dtypes (fp64 parity runs) take the XLA scatter.
+        from skge_tpu.ops.sorted_segment import segment_sum_sorted
+
+        if aug.dtype == jnp.float32:
+            table = segment_sum_sorted(indices, aug, num_rows)
+        else:
+            table = jnp.zeros((num_rows, aug.shape[1]), g.dtype).at[
+                indices
+            ].add(aug, mode="drop")
     elif backend == "xla":
         table = jnp.zeros((num_rows, aug.shape[1]), g.dtype).at[indices].add(
             aug, mode="drop"

@@ -638,7 +638,7 @@ def apply_gradients(
     opt_state: OptState,
     occ,                      # {pname: (indices, grads, mask_or_counts)}
     g_dense: Params,
-    aggregate: str = "unique",  # 'unique' | 'dense' (SPMD) | 'dense_pallas'
+    aggregate: str = "unique",  # 'unique'|'dense' (SPMD)|'dense_pallas'|'dense_sorted'
     premasked: bool = False,    # occ grads pre-weighted, mask = counts
 ) -> Tuple[Params, OptState]:
     params = dict(params)
@@ -649,6 +649,11 @@ def apply_gradients(
         # single-device fast path: the scatter-add runs in the VMEM-resident
         # pallas kernel (ops/pallas_segment.py)
         aggregate, backend = "dense", "pallas"
+    elif aggregate == "dense_sorted":
+        # pure-XLA fast path: sort + banded one-hot MXU matmul
+        # (ops/sorted_segment.py) — no pallas, better-than-scatter fp32
+        # precision, ~1.2x over the XLA scatter at FB15k shapes
+        aggregate, backend = "dense", "sorted"
     seg_dense = partial(segment_mean_dense, backend=backend)
 
     def apply_dense_grads(pname, dg: DenseGrads):
