@@ -61,17 +61,20 @@ def _col_tile(num_rows: int, feat: int, chunk: int) -> int:
     """
     feat_pad = -(-feat // _LANE) * _LANE
     # acc + out + double-buffered input chunks, with 25% headroom for the
-    # pipeline's extra buffers (Mosaic's accounting exceeds the naive sum)
+    # pipeline's extra buffers (Mosaic's accounting exceeds the naive sum).
+    # Returns 0 when even one 128-lane tile exceeds the budget — the
+    # caller must fall back to the XLA scatter rather than compile a
+    # kernel that trips vmem_limit_bytes near the boundary.
     denom = 4 * (2 * num_rows + _SPARE_ROWS + 2 * chunk)
     tile = int(_VMEM_BUDGET * 0.75) // denom // _LANE * _LANE
-    return int(min(feat_pad, max(_LANE, tile)))
+    return int(min(feat_pad, tile))
 
 
 def fits_in_vmem(num_rows: int, feat: int, chunk: int = 4096) -> bool:
-    """Whether the accumulator + pipeline buffers fit at SOME column tile."""
-    return _padded_bytes(
-        2 * num_rows + _SPARE_ROWS + 2 * chunk, _LANE
-    ) < _VMEM_BUDGET
+    """Whether the accumulator + pipeline buffers fit at SOME column tile,
+    under the SAME 25%-headroom accounting `_col_tile` uses (a mismatch
+    here would select the kernel and then fail at compile time)."""
+    return _col_tile(num_rows, feat, chunk) >= _LANE
 
 
 def _kernel(idx_ref, g_ref, out_ref, acc_ref, *, num_rows: int, chunk: int):
@@ -134,6 +137,12 @@ def segment_sum_pallas(
         )
         grads = jnp.concatenate([grads, jnp.zeros((pad, d), grads.dtype)])
     tile = _col_tile(num_rows, d, chunk)
+    if tile < _LANE:
+        raise ValueError(
+            f"accumulator for num_rows={num_rows} does not fit VMEM at any "
+            "column tile — gate with fits_in_vmem() and fall back to the "
+            "XLA scatter"
+        )
     dpad = (-d) % tile
     if dpad:
         grads = jnp.pad(grads, ((0, 0), (0, dpad)))

@@ -84,6 +84,15 @@ def relabel_entities(
     n_e = entity_part.shape[0]
     sizes = np.bincount(entity_part, minlength=n_parts)
     s = int(sizes.max())
+    if n_parts * s >= 2**31:
+        # relabeled ids run up to n_parts*S and are stored int32; fail
+        # loudly instead of silently corrupting ids. Imbalanced partitions
+        # inflate the padded id space — rebalance or split further.
+        raise ValueError(
+            f"relabeled id space n_parts*S = {n_parts}*{s} = "
+            f"{n_parts * s} overflows int32; use more/better-balanced "
+            "partitions"
+        )
     order = np.argsort(entity_part, kind="stable")
     within = np.arange(n_e) - np.concatenate(
         [[0], np.cumsum(sizes)]
@@ -118,6 +127,23 @@ def object_boundary_cap(
             nonlocal_ = nonlocal_ & (np.asarray(mask)[p] > 0)
         caps.append(int(np.sum(nonlocal_)))
     return max(caps) if caps else 0
+
+
+def _warn_if_cap_exceeded(n_needed, cap: int, what: str) -> None:
+    """Runtime guard for an undersized compaction cap: rows beyond the cap
+    silently contribute zero gradient, so surface it loudly (device-side
+    print fires only when tripped; steady-state cost is one reduce)."""
+
+    def warn():
+        jax.debug.print(
+            "skge_tpu PARTITIONED WARNING: {n} valid non-local rows but "
+            + what
+            + f"={cap} — the excess rows are DROPPED and gradients are "
+            "wrong; size the cap with object_boundary_cap", n=n_needed,
+        )
+        return 0
+
+    jax.lax.cond(n_needed > cap, warn, lambda: 0)
 
 
 def make_partitioned_pairwise_step(
@@ -297,6 +323,9 @@ def _build_local_step(
             local = idx - row_off
             own = jnp.logical_and(local >= 0, local < s_rows)
             needed = jnp.logical_and(~own, mask > 0)
+            _warn_if_cap_exceeded(
+                jnp.sum(needed), boundary_cap, "boundary_cap"
+            )
             req_pos = jnp.argsort(~needed)[:boundary_cap]  # needed first
             all_req = jax.lax.all_gather(
                 idx[req_pos], SHARD_AXIS
@@ -363,6 +392,9 @@ def _build_local_step(
                 # rows always fit the cap even after shuffling
                 nonzero = jnp.any(aug != 0, axis=1)
                 needed = jnp.logical_and(~own, nonzero)
+                _warn_if_cap_exceeded(
+                    jnp.sum(needed), gcap, "gradient-return cap"
+                )
                 npos = jnp.argsort(~needed)[:gcap]      # needed first
                 # zero the surplus slots (owned rows already scattered
                 # above — without this they would double-count)

@@ -130,7 +130,7 @@ def test_segment_sum_wide_rows_col_tiled(monkeypatch):
     t, r, d = 300, 17, 520  # d spans several forced col tiles
     idx = jnp.asarray(rng.integers(0, r + 2, t), jnp.int32)
     g = jnp.asarray(rng.normal(size=(t, d)), jnp.float32)
-    monkeypatch.setattr(ps, "_VMEM_BUDGET", 1 << 20)  # ~1MB: forces tiling
+    monkeypatch.setattr(ps, "_VMEM_BUDGET", 2 << 20)  # ~2MB: forces tiling
     assert ps._col_tile(r, d, 1024) < 640  # < padded d => multiple col tiles
     out = ps.segment_sum_pallas(idx, g, r, chunk=1024, interpret=True)
     np.testing.assert_allclose(
