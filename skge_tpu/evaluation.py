@@ -211,10 +211,18 @@ class FilteredRankingEval:
         self._batches = self.test[idx].reshape(self.n_batches, bs, 3)
         self._valid = (np.arange(padded) < n).reshape(self.n_batches, bs)
 
-        # per-direction static filter width = max pairs over batches
+        # per-direction filter widths, rounded up to powers of two PER
+        # BATCH: one global max width would let a single high-degree (s,p)
+        # key inflate every batch's filter scatter (round-1 review weak
+        # #7); pow2 bucketing keeps the number of distinct compiled kernel
+        # shapes logarithmic while the scatter work tracks each batch's
+        # actual pair count.
+        def _pow2(w: int) -> int:
+            return 1 if w <= 1 else 1 << (w - 1).bit_length()
+
         self._pairs = {}
         for direction in ("o", "s"):
-            widths = []
+            pairs = []
             for b in range(self.n_batches):
                 w = 0
                 for s, o, p in self._batches[b]:
@@ -223,12 +231,13 @@ class FilteredRankingEval:
                     )
                     arr = self._index[direction].get(key)
                     w += 0 if arr is None else len(arr)
-                widths.append(w)
-            width = max(widths) if widths else 0
-            self._pairs[direction] = [
-                _filter_pairs(self._batches[b], self._index[direction], direction, width)
-                for b in range(self.n_batches)
-            ]
+                pairs.append(
+                    _filter_pairs(
+                        self._batches[b], self._index[direction],
+                        direction, _pow2(w),
+                    )
+                )
+            self._pairs[direction] = pairs
 
     def __call__(self, params: Params) -> RankingResult:
         n = len(self.test)
