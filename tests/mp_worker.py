@@ -63,6 +63,10 @@ def main() -> None:
         margin=1.0, k=32, nbatches=5, seed=3,
     )
     tr.fit(epochs=3)
+    # sharded checkpoint: every process writes ONLY the shards its devices
+    # own; the test loads both the 1-process- and 2-process-written
+    # directories and pins them equal
+    tr.save(args.out + ".ckpt")
     params = tr.params()  # allgathers across processes
     if jax.process_index() == 0:
         np.savez(

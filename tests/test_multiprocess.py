@@ -82,3 +82,47 @@ def test_two_process_trajectory_matches_single(tmp_path):
                 a[k], b[k],
                 err_msg=f"{k} diverged between 1- and 2-process runs",
             )
+
+
+def test_multiprocess_sharded_checkpoint_equals_single(tmp_path):
+    """Each rank writes only its own shards; the resulting directory must
+    load (in THIS single process, onto a 4-device mesh) bit-identical to
+    the one written by the 1-process run."""
+    single = tmp_path / "single.npz"
+    multi = tmp_path / "multi.npz"
+
+    r = _run(["--out", str(single), "--devices", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, _WORKER,
+                "--out", str(multi), "--devices", "2",
+                "--coordinator", f"localhost:{port}",
+                "--nproc", "2", "--pid", str(pid),
+            ],
+            env=_env(), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err[-2000:]
+
+    import jax
+
+    from skge_tpu.parallel.partitioned import make_shard_mesh
+    from skge_tpu.utils.checkpoint import load_sharded_checkpoint
+
+    mesh = make_shard_mesh(jax.devices()[:4])
+    a, meta_a = load_sharded_checkpoint(str(single) + ".ckpt", mesh)
+    b, meta_b = load_sharded_checkpoint(str(multi) + ".ckpt", mesh)
+    assert meta_a == meta_b
+    flat_a = jax.tree.leaves(a.params) + jax.tree.leaves(a.opt_state)
+    flat_b = jax.tree.leaves(b.params) + jax.tree.leaves(b.opt_state)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(x)), np.asarray(jax.device_get(y))
+        )
