@@ -88,11 +88,18 @@ def initialize(
     )
     if coord is None and nproc is None and pid is None:
         in_pod = any(
-            v in os.environ for v in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+            v in os.environ for v in ("MEGASCALE_COORDINATOR_ADDRESS",
+                                      "CLOUD_TPU_TASK_ID")
         )
         if not in_pod:
             return False  # single-host; nothing to wire
-        jax.distributed.initialize()  # pod runtime auto-detects
+        try:
+            jax.distributed.initialize()  # pod runtime auto-detects
+        except (ValueError, RuntimeError):
+            # looked pod-like (stray env vars — e.g. single-chip images
+            # set TPU_WORKER_HOSTNAMES) but the runtime has no topology:
+            # stay single-host rather than crash
+            return False
     else:
         jax.distributed.initialize(
             coordinator_address=coord,

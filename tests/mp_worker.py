@@ -42,6 +42,9 @@ def main() -> None:
     if args.nproc > 1:
         on = dist.initialize(args.coordinator, args.nproc, args.pid)
         assert on and jax.process_count() == args.nproc
+    else:
+        # env-driven path (scripts/launch_distributed.py sets SKGE_*)
+        dist.initialize()
 
     import numpy as np
 

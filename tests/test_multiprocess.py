@@ -126,3 +126,33 @@ def test_multiprocess_sharded_checkpoint_equals_single(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(jax.device_get(x)), np.asarray(jax.device_get(y))
         )
+
+
+def test_launcher_spawns_env_driven_gang(tmp_path):
+    """scripts/launch_distributed.py wires SKGE_* env vars; the worker's
+    bare `distributed.initialize()` picks them up and the 2-rank result
+    matches the 1-process 4-device run."""
+    single = tmp_path / "single.npz"
+    multi = tmp_path / "multi.npz"
+    r = _run(["--out", str(single), "--devices", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    launcher = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "launch_distributed.py",
+    )
+    r = subprocess.run(
+        [
+            sys.executable, launcher, "--nproc", "2",
+            "--devices-per-proc", "2", "--",
+            sys.executable, _WORKER, "--out", str(multi), "--devices", "2",
+        ],
+        env=_env(), capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    a, b = np.load(single), np.load(multi)
+    for k in a.files:
+        if k == "loss":
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-14)
+        else:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
