@@ -22,6 +22,7 @@ from skge_tpu.sampling import (
     SharedNegativeSampler,
 )
 from skge_tpu.outofcore import OutOfCoreTrainer
+from skge_tpu.parallel.partitioned import PartitionedTrainer
 from skge_tpu.training import (
     TrainState,
     init_state,
@@ -45,6 +46,7 @@ __all__ = [
     "SGD",
     "OPTIMIZERS",
     "OutOfCoreTrainer",
+    "PartitionedTrainer",
     "RandomModeSampler",
     "LCWASampler",
     "BernoulliSampler",
