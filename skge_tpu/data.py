@@ -308,7 +308,8 @@ def latent_kg(
 # ---------------------------------------------------------------------------
 
 def greedy_entity_partition(
-    triples: np.ndarray, n_entities: int, n_parts: int, seed: int = 0
+    triples: np.ndarray, n_entities: int, n_parts: int, seed: int = 0,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Degree-descending greedy entity->part assignment (METIS-lite).
 
@@ -317,11 +318,26 @@ def greedy_entity_partition(
     assigned DEGREE (so every part sees a similar number of triple
     endpoints). Beats hash partitioning on graphs with community structure
     (DGL-KE uses full METIS for the same purpose, arXiv:2004.08532 §3.2);
-    on structureless graphs it degrades to balanced random. Pure NumPy +
-    one Python pass over entities — fine up to millions of edges.
+    on structureless graphs it degrades to balanced random.
+
+    `backend='auto'` (default) runs the native C++ implementation
+    (native/src/partitioner.cpp — bit-identical output, pinned in
+    tests/test_native.py; no per-entity Python loop, so it scales to
+    1e8+ edges) when the toolchain is available, else this NumPy+Python
+    reference; 'python' / 'native' force one side.
 
     Returns (n_entities,) int32 part ids.
     """
+    if backend not in ("auto", "python", "native"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "python":
+        from skge_tpu.native import greedy_partition
+
+        out = greedy_partition(triples, n_entities, n_parts)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native partitioner unavailable (no toolchain)")
     t = np.asarray(triples)
     deg = np.bincount(t[:, 0], minlength=n_entities) + np.bincount(
         t[:, 1], minlength=n_entities

@@ -33,7 +33,15 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
+        srcs = [
+            os.path.join(_NATIVE_DIR, "src", f)
+            for f in ("tripleloader.cpp", "partitioner.cpp")
+        ]
+        stale = os.path.exists(_LIB_PATH) and any(
+            os.path.getmtime(f) > os.path.getmtime(_LIB_PATH)
+            for f in srcs if os.path.exists(f)
+        )
+        if not os.path.exists(_LIB_PATH) or stale:
             try:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR],
@@ -68,6 +76,14 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
             getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.tl_free.restype = None
         lib.tl_free.argtypes = [ctypes.c_void_p]
+        lib.skge_greedy_partition.restype = ctypes.c_int
+        lib.skge_greedy_partition.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
@@ -125,3 +141,31 @@ def load_triple_files(paths, order: str = "spo", with_names: bool = True):
         return splits, entities, relations
     finally:
         lib.tl_free(h)
+
+
+def greedy_partition(triples, n_entities: int, n_parts: int):
+    """Native METIS-lite entity partitioner (native/src/partitioner.cpp):
+    bit-identical to `data.greedy_entity_partition`'s Python reference
+    (pinned in tests/test_native.py) without its per-entity interpreter
+    loop — the path to 1e8-1e9-edge graphs. Returns None when the native
+    toolchain is unavailable (caller falls back to Python)."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(np.asarray(triples, np.int32))
+    if t.ndim != 2 or t.shape[1] != 3:
+        raise ValueError(f"triples must be (N, 3), got {t.shape}")
+    out = np.empty(int(n_entities), np.int32)
+    rc = lib.skge_greedy_partition(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(t.shape[0]),
+        ctypes.c_int32(int(n_entities)),
+        ctypes.c_int32(int(n_parts)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc:
+        raise ValueError(
+            f"skge_greedy_partition failed (code {rc}): check entity ids "
+            "are in [0, n_entities)"
+        )
+    return out

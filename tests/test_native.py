@@ -102,3 +102,40 @@ def test_blank_lines_and_crlf(tmp_path):
     splits, entities, relations = native.load_triple_files([str(p)])
     assert splits[0].shape == (2, 3)
     assert entities == ["a", "b", "c", "d"]
+
+
+def test_native_partitioner_matches_python_exactly():
+    """native/src/partitioner.cpp is a bit-exact port of the Python
+    greedy_entity_partition (same stable ordering, balance cap, score and
+    load tie-breaks, refinement sweeps)."""
+    import pytest
+
+    from skge_tpu.data import greedy_entity_partition, synthetic_kg
+    from skge_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    for seed, (n_e, n_r, n_t, parts, clustered) in enumerate([
+        (97, 6, 900, 4, True),
+        (400, 8, 6000, 8, True),
+        (123, 5, 700, 3, False),
+        (50, 2, 60, 7, False),   # sparse: isolated entities
+    ]):
+        ds = synthetic_kg(n_e, n_r, n_train=n_t, seed=seed,
+                          clustered=clustered)
+        py = greedy_entity_partition(ds.train, n_e, parts, backend="python")
+        nat = greedy_entity_partition(ds.train, n_e, parts, backend="native")
+        np.testing.assert_array_equal(nat, py, err_msg=f"case {seed}")
+
+
+def test_native_partitioner_rejects_bad_ids():
+    import pytest
+
+    from skge_tpu.data import greedy_entity_partition
+    from skge_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    bad = np.array([[0, 99, 0]], np.int32)  # object id out of range
+    with pytest.raises(ValueError):
+        greedy_entity_partition(bad, 10, 2, backend="native")
