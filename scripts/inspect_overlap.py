@@ -61,8 +61,8 @@ def _cycles_of(line: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-_COLL_KINDS = ("all-gather", "all-reduce", "reduce-scatter", "all-to-all",
-               "collective-permute")
+_COLL_KINDS = ("all-gather", "all-reduce", "reduce-scatter",
+               "ragged-all-to-all", "all-to-all", "collective-permute")
 _START_RE = re.compile(
     r"= .*?(?:async-collective-start|(?:%s)-start)\("
     % "|".join(_COLL_KINDS)
@@ -131,7 +131,7 @@ def analyze(hlo: str):
     return records, sync_colls
 
 
-def build_step(boundary_cap: int, overlap: bool):
+def build_step(boundary_cap: int, overlap: bool, ragged: bool = False):
     import jax
     import numpy as np
     from jax.experimental import topologies
@@ -156,7 +156,7 @@ def build_step(boundary_cap: int, overlap: bool):
     sampler = RelabeledPoolSampler(np.arange(n_e), k=512)
     step = make_partitioned_pairwise_step(
         model, opt, sampler, 1.0, mesh,
-        boundary_cap=boundary_cap, overlap=overlap,
+        boundary_cap=boundary_cap, overlap=overlap, ragged=ragged,
     )
     _, _, spec = partitioned_state_specs(model, opt)
     sh = jax.tree.map(
@@ -186,9 +186,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--boundary-cap", type=int, default=256)
     ap.add_argument("--no-overlap", action="store_true")
+    ap.add_argument("--ragged", action="store_true",
+                    help="owner-routed ragged_all_to_all boundary exchange "
+                    "(P-fold exchange-volume reduction)")
     ap.add_argument("--dump", default=None, help="write full HLO here")
     args = ap.parse_args()
-    compiled = build_step(args.boundary_cap, overlap=not args.no_overlap)
+    compiled = build_step(args.boundary_cap, overlap=not args.no_overlap, ragged=args.ragged)
     hlo = compiled.as_text()
     if args.dump:
         open(args.dump, "w").write(hlo)

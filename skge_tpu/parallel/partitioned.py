@@ -154,6 +154,7 @@ def make_partitioned_pairwise_step(
     mesh: Mesh,
     boundary_cap: int | None = None,
     overlap: bool = True,
+    ragged=False,
 ):
     """Jitted partition-aligned pairwise step.
 
@@ -188,9 +189,11 @@ def make_partitioned_pairwise_step(
     epname, s_rows, shared, state_spec = _prep(
         model, opt, mesh, sampler, boundary_cap
     )
+    if ragged and boundary_cap is None:
+        raise ValueError("ragged exchange requires boundary_cap")
     local_step = _build_local_step(
         model, opt, sampler, margin, epname, s_rows, shared, boundary_cap,
-        overlap,
+        overlap, ragged,
     )
 
     def block_step(state: TrainState, batch, mask):
@@ -251,7 +254,7 @@ def _prep(model, opt, mesh, sampler, boundary_cap):
 
 def _build_local_step(
     model, opt, sampler, margin, epname, s_rows, shared, boundary_cap,
-    overlap=True,
+    overlap=True, ragged=False,
 ):
     """Per-shard step body: (state, (L, 3) batch, (L,) mask) -> updated
     state + globally-psum'd metrics. Runs inside shard_map."""
@@ -311,6 +314,83 @@ def _build_local_step(
                 return params[pname][idx]
             return jax.lax.psum(local_rows(idx), SHARD_AXIS)
 
+        def _ragged_exchange(req_ids):
+            """Owner-routed boundary fetch: each answer row travels ONCE
+            (from its owning shard to the requester) instead of riding a
+            P-wide dense block — exchange volume C*d per shard, a P-fold
+            reduction over the dense all_to_all (scaling-book recipe:
+            shrink the bytes before hiding them).
+
+            Bookkeeping (all static-shape): requests sort by owner, a tiny
+            (P, P) count matrix is all_gathered, and the cumulative sums
+            give every sender its input offsets AND where its block lands
+            in each receiver's owner-ordered output — exactly the
+            sender-specified layout `jax.lax.ragged_all_to_all` wants.
+            `ragged='emulate'` runs the SAME bookkeeping through a dense
+            all_to_all with rows placed at their ragged output offsets
+            (receivers sum the one-nonzero-per-row blocks) — bit-identical
+            output, runs on backends without the ragged op (CPU tests).
+            Returns answers in REQUEST order."""
+            c = req_ids.shape[0]
+            owner = jnp.clip(req_ids // s_rows, 0, p_sz - 1)
+            o_perm = jnp.argsort(owner, stable=True)
+            req_sorted = req_ids[o_perm]                 # (C,) owner-grouped
+            counts = jnp.zeros((p_sz,), jnp.int32).at[owner].add(1)
+            all_req = jax.lax.all_gather(req_sorted, SHARD_AXIS)   # (P, C)
+            all_counts = jax.lax.all_gather(counts, SHARD_AXIS)    # (P, P)
+            # starts[q, o] = offset of owner o's block in q's sorted requests
+            starts = jnp.cumsum(all_counts, axis=1) - all_counts
+            # --- answer side (me as owner) ---
+            flat_req = all_req.reshape(-1)               # (P*C,)
+            flat_owner = jnp.clip(flat_req // s_rows, 0, p_sz - 1)
+            mine_mask = flat_owner == me
+            pack = jnp.argsort(~mine_mask, stable=True)  # mine first, in
+            send_ids = flat_req[pack]                    # (q, within-q) order
+            send_rows = params[epname][
+                jnp.clip(send_ids - row_off, 0, s_rows - 1)
+            ]                                            # (P*C, d) static buf
+            sizes_for_me = all_counts[:, me]             # (P,) rows per dest q
+            input_offsets = jnp.cumsum(sizes_for_me) - sizes_for_me
+            output_offsets = starts[:, me]               # my block's spot at q
+            recv_sizes = counts                          # from each owner o
+            if ragged == "emulate":
+                # place my block for q at its ragged output offset inside a
+                # dense (P, C, d) frame; receivers sum over senders (one
+                # nonzero owner per row)
+                j = jnp.arange(p_sz * boundary_cap, dtype=jnp.int32)
+                dest = j // boundary_cap
+                slot = j % boundary_cap
+                src_row = input_offsets[dest] + (slot - output_offsets[dest])
+                valid = jnp.logical_and(
+                    slot >= output_offsets[dest],
+                    slot < output_offsets[dest] + sizes_for_me[dest],
+                )
+                frame = jnp.where(
+                    valid[:, None],
+                    send_rows[jnp.clip(src_row, 0, p_sz * c - 1)],
+                    0,
+                ).reshape(p_sz, boundary_cap, -1)
+                recv = jnp.sum(
+                    jax.lax.all_to_all(
+                        frame, SHARD_AXIS, split_axis=0, concat_axis=0
+                    ),
+                    axis=0,
+                )                                        # (C, d) owner-ordered
+            else:
+                recv = jax.lax.ragged_all_to_all(
+                    send_rows,
+                    jnp.zeros((c,) + send_rows.shape[1:], send_rows.dtype),
+                    input_offsets.astype(jnp.int32),
+                    sizes_for_me.astype(jnp.int32),
+                    output_offsets.astype(jnp.int32),
+                    recv_sizes.astype(jnp.int32),
+                    axis_name=SHARD_AXIS,
+                )                                        # (C, d) owner-ordered
+            inv = jnp.zeros((c,), jnp.int32).at[o_perm].set(
+                jnp.arange(c, dtype=jnp.int32)
+            )
+            return recv[inv]                             # request order
+
         def gather_compact(idx):
             """Compacted boundary exchange: fetch only the <= C non-local
             ids through the collective; local ids gather locally.
@@ -327,11 +407,14 @@ def _build_local_step(
                 jnp.sum(needed), boundary_cap, "boundary_cap"
             )
             req_pos = jnp.argsort(~needed)[:boundary_cap]  # needed first
-            all_req = jax.lax.all_gather(
-                idx[req_pos], SHARD_AXIS
-            )                                           # (P, C) ids — tiny
-            answers = local_rows(all_req.reshape(-1))   # (P*C, d)
-            mine = _exchange(answers)                   # (C, d): my requests
+            if ragged:
+                mine = _ragged_exchange(idx[req_pos])   # (C, d)
+            else:
+                all_req = jax.lax.all_gather(
+                    idx[req_pos], SHARD_AXIS
+                )                                       # (P, C) ids — tiny
+                answers = local_rows(all_req.reshape(-1))  # (P*C, d)
+                mine = _exchange(answers)               # (C, d): my requests
             rows = params[epname][jnp.clip(local, 0, s_rows - 1)]
             rows = jnp.where(own[:, None], rows, 0)
             return rows.at[req_pos].set(mine)
@@ -475,6 +558,7 @@ def make_partitioned_epoch(
     nbatches: int,
     boundary_cap: int | None = None,
     overlap: bool = True,
+    ragged=False,
 ):
     """Jitted epoch over partitioned batches: per-shard on-device shuffle
     + minibatch scan of the partitioned step (the `make_epoch_fn`
@@ -499,8 +583,11 @@ def make_partitioned_epoch(
     batch_size = -(-length // nbatches)
     padded = nbatches * batch_size
     cap = None if boundary_cap is None else min(boundary_cap, batch_size)
+    if ragged and cap is None:
+        raise ValueError("ragged exchange requires boundary_cap")
     local_step = _build_local_step(
-        model, opt, sampler, margin, epname, s_rows, shared, cap, overlap
+        model, opt, sampler, margin, epname, s_rows, shared, cap, overlap,
+        ragged,
     )
 
     def local_epoch(state: TrainState, batch, mask):

@@ -372,3 +372,50 @@ def test_partitioned_eval_matches_host_eval():
     np.testing.assert_array_equal(got.ranks, want.ranks)
     np.testing.assert_array_equal(got.ranks_raw, want.ranks_raw)
     assert got.mrr == want.mrr
+
+
+def test_ragged_exchange_emulation_matches_dense():
+    """The owner-routed (ragged) boundary exchange must produce the SAME
+    states as the dense all_to_all exchange. CPU XLA lacks the
+    ragged-all-to-all op, so this pins the full offset/permutation
+    bookkeeping through `ragged='emulate'` (identical math, rows placed at
+    their ragged output offsets inside a dense frame); the real op is
+    compile-checked for TPU by scripts/inspect_overlap.py --ragged."""
+    from skge_tpu.parallel.partitioned import object_boundary_cap
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(61, 5, n_train=400, seed=7, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    batches_np, mask_np, _ = partition_edges(
+        rel, _range_part(n_pad, s), P_PARTS
+    )
+    cap = object_boundary_cap(batches_np, s) + 2  # exercise surplus slots
+    batches = jnp.asarray(batches_np)
+    mask = jnp.asarray(mask_np, jnp.float64)
+    model = TransE(n_pad, ds.n_relations, 16, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    rng = np.random.default_rng(13)
+    sampler = FixedPool(jnp.asarray(rng.integers(0, n_pad, 9), jnp.int32))
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+
+    states = {}
+    for mode in (False, "emulate"):
+        step = make_partitioned_pairwise_step(
+            model, opt, sampler, 0.7, mesh, boundary_cap=cap, ragged=mode
+        )
+        st = shard_state_partitioned(
+            init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+        )
+        for _ in range(3):
+            st, m = step(st, batches, mask)
+        states[mode] = (st, m)
+    a, b = states[False], states["emulate"]
+    assert float(a[1].nviolations) == float(b[1].nviolations)
+    for k in a[0].params:
+        np.testing.assert_array_equal(
+            np.asarray(a[0].params[k]), np.asarray(b[0].params[k]),
+            err_msg=f"ragged param {k}",
+        )
