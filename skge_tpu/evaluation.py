@@ -150,8 +150,11 @@ def _rank_kernel(
     return jax.jit(kernel)
 
 
-def _filter_pairs(batch: np.ndarray, index: dict, direction: str, width: int):
-    """Flat (row, entity) known-true pairs for one batch, padded to `width`.
+def _filter_pairs(batch: np.ndarray, index: dict, direction: str):
+    """Flat (row, entity) known-true pairs for one batch, padded to the
+    next power of two of the batch's own pair count (a single high-degree
+    key must not inflate every batch's scatter; pow2 keeps the number of
+    distinct compiled kernel shapes logarithmic).
 
     Padding rows use row id = batch-size (dropped by the device scatter).
     """
@@ -162,8 +165,8 @@ def _filter_pairs(batch: np.ndarray, index: dict, direction: str, width: int):
         if true_ents is not None:
             rows.extend([i] * len(true_ents))
             ents.extend(true_ents.tolist())
+    width = 1 if len(rows) <= 1 else 1 << (len(rows) - 1).bit_length()
     pad = width - len(rows)
-    assert pad >= 0, "filter width underestimated"
     rows.extend([batch.shape[0]] * pad)
     ents.extend([0] * pad)
     return (
@@ -211,33 +214,15 @@ class FilteredRankingEval:
         self._batches = self.test[idx].reshape(self.n_batches, bs, 3)
         self._valid = (np.arange(padded) < n).reshape(self.n_batches, bs)
 
-        # per-direction filter widths, rounded up to powers of two PER
-        # BATCH: one global max width would let a single high-degree (s,p)
-        # key inflate every batch's filter scatter (round-1 review weak
-        # #7); pow2 bucketing keeps the number of distinct compiled kernel
-        # shapes logarithmic while the scatter work tracks each batch's
-        # actual pair count.
-        def _pow2(w: int) -> int:
-            return 1 if w <= 1 else 1 << (w - 1).bit_length()
-
-        self._pairs = {}
-        for direction in ("o", "s"):
-            pairs = []
-            for b in range(self.n_batches):
-                w = 0
-                for s, o, p in self._batches[b]:
-                    key = (
-                        (int(s), int(p)) if direction == "o" else (int(o), int(p))
-                    )
-                    arr = self._index[direction].get(key)
-                    w += 0 if arr is None else len(arr)
-                pairs.append(
-                    _filter_pairs(
-                        self._batches[b], self._index[direction],
-                        direction, _pow2(w),
-                    )
+        self._pairs = {
+            direction: [
+                _filter_pairs(
+                    self._batches[b], self._index[direction], direction
                 )
-            self._pairs[direction] = pairs
+                for b in range(self.n_batches)
+            ]
+            for direction in ("o", "s")
+        }
 
     def __call__(self, params: Params) -> RankingResult:
         n = len(self.test)

@@ -796,19 +796,20 @@ class PartitionedTrainer:
 
         save_sharded_checkpoint(
             dirpath, self._state,
-            meta={"epochs": len(self._metrics),
+            meta={"metrics": self._metrics,
                   "n_entities": int(self.full_model.n_entities)},
         )
         return self
 
     def restore(self, dirpath: str):
         """Resume from `save`; re-places shards per the current mesh (the
-        shard count may differ from the saving run's)."""
+        shard count may differ from the saving run's). The metric history
+        is restored too, so `metrics` and epoch numbering continue."""
         from skge_tpu.utils.checkpoint import load_sharded_checkpoint
 
         state, meta = load_sharded_checkpoint(dirpath, self._mesh)
         self._state = state
-        self._metrics = [{}] * int(meta.get("epochs", 0))
+        self._metrics = list(meta.get("metrics", []))
         return self
 
     def evaluate(

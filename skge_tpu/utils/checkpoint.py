@@ -145,6 +145,11 @@ def save_sharded_checkpoint(
 
     for sid, leaves in per_shard.items():
         _atomic_savez(os.path.join(dirpath, f"shard_{sid:05d}.npz"), leaves)
+    # manifest.json is the checkpoint's completion marker: every process
+    # must have finished its shard files BEFORE rank 0 writes it, and no
+    # process may return (e.g. to be preempted, or to restore()) before
+    # the manifest exists
+    _barrier("sharded_ckpt_shards_done")
     if jax.process_index() == 0:
         replicated["key"] = np.asarray(jax.random.key_data(state.key))
         replicated["step"] = np.asarray(state.step)
@@ -159,6 +164,14 @@ def save_sharded_checkpoint(
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(dirpath, "manifest.json"))
+    _barrier("sharded_ckpt_manifest_done")
+
+
+def _barrier(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
 
 
 def _atomic_savez(path: str, arrays: Dict[str, np.ndarray]) -> None:
@@ -232,14 +245,19 @@ def load_sharded_checkpoint(
 
         return jax.make_array_from_callback(shape, sharding, cb)
 
-    names = set(manifest["shapes"])
+    # deterministic leaf order: every process must issue the device_put /
+    # make_array_from_callback calls for the SAME leaf at the same point
+    # (multi-process placement is collective); set() iteration order
+    # varies with each interpreter's string-hash seed
+    names = sorted(manifest["shapes"])
     tree = _unflatten({n: None for n in names})
 
     def fill(prefix, node):
         return {
-            k: fill(f"{prefix}{_SEP}{k}", v) if isinstance(v, dict)
+            k: fill(f"{prefix}{_SEP}{k}", node[k])
+            if isinstance(node[k], dict)
             else leaf(f"{prefix}{_SEP}{k}")
-            for k, v in node.items()
+            for k in sorted(node)  # same collective order on every process
         }
 
     params = fill("params", tree["params"])

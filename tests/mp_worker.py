@@ -70,12 +70,26 @@ def main() -> None:
     # own; the test loads both the 1-process- and 2-process-written
     # directories and pins them equal
     tr.save(args.out + ".ckpt")
+    # multi-process RESTORE + resume: load_sharded_checkpoint's collective
+    # array construction must issue leaves in the same order on every
+    # process; a fresh trainer resumes one epoch from the checkpoint
+    tr2 = PartitionedTrainer(
+        model, AdaGrad(lr=0.1), ds.train, mesh,
+        margin=1.0, k=32, nbatches=5, seed=3,
+    ).restore(args.out + ".ckpt")
+    assert [m["loss"] for m in tr2.metrics] == [
+        m["loss"] for m in tr.metrics
+    ], "metric history must survive restore"
+    tr2.fit(epochs=1)
     params = tr.params()  # allgathers across processes
+    resumed = tr2.params()
     if jax.process_index() == 0:
         np.savez(
             args.out,
             loss=np.asarray([m["loss"] for m in tr.metrics]),
             nviolations=np.asarray([m["nviolations"] for m in tr.metrics]),
+            resumed_E=resumed["E"],
+            resumed_R=resumed["R"],
             **params,
         )
     dist.sync_global_devices("mp_worker_done")

@@ -119,7 +119,12 @@ def test_multiprocess_sharded_checkpoint_equals_single(tmp_path):
     mesh = make_shard_mesh(jax.devices()[:4])
     a, meta_a = load_sharded_checkpoint(str(single) + ".ckpt", mesh)
     b, meta_b = load_sharded_checkpoint(str(multi) + ".ckpt", mesh)
-    assert meta_a == meta_b
+    assert meta_a["n_entities"] == meta_b["n_entities"]
+    # the loss metric crosses a psum whose cross-process reduction order
+    # differs by a final ulp (see the trajectory test above)
+    for ma, mb in zip(meta_a["metrics"], meta_b["metrics"]):
+        assert ma["nviolations"] == mb["nviolations"]
+        np.testing.assert_allclose(ma["loss"], mb["loss"], rtol=1e-14)
     flat_a = jax.tree.leaves(a.params) + jax.tree.leaves(a.opt_state)
     flat_b = jax.tree.leaves(b.params) + jax.tree.leaves(b.opt_state)
     for x, y in zip(flat_a, flat_b):
