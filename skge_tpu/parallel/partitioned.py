@@ -482,7 +482,69 @@ def _build_local_step(
                 # zero the surplus slots (owned rows already scattered
                 # above — without this they would double-count)
                 nb_aug = aug[npos] * needed[npos].astype(grads.dtype)[:, None]
-                if overlap:
+                if ragged:
+                    # owner-routed gradient return: each non-owned row
+                    # travels once to its owning shard — (C+K)*F bytes vs
+                    # the broadcast's P*(C+K)*F (the step's biggest
+                    # collective). Rows sort by destination (STABLE, so
+                    # same-table-row adds keep their order and the scatter
+                    # is bitwise-identical to the dense return); ids ride
+                    # a second tiny ragged op. Receive layout is
+                    # sender-major in both the real packed op and the
+                    # emulation's per-sender blocks; surplus slots carry
+                    # id -1 (dropped) and zero rows.
+                    rid = idx[npos]
+                    dst = jnp.clip(rid // s_rows, 0, p_sz - 1)
+                    dperm = jnp.argsort(dst, stable=True)
+                    pay = nb_aug[dperm]
+                    ids_s = rid[dperm].astype(jnp.int32)
+                    cnt = jnp.zeros((p_sz,), jnp.int32).at[dst].add(1)
+                    allc = jax.lax.all_gather(cnt, SHARD_AXIS)  # (P,P) s->d
+                    in_off = (jnp.cumsum(cnt) - cnt).astype(jnp.int32)
+                    col_cum = jnp.cumsum(allc, axis=0) - allc
+                    out_off = col_cum[me].astype(jnp.int32)
+                    recv_sz = allc[:, me].astype(jnp.int32)
+                    if ragged == "emulate":
+                        j = jnp.arange(p_sz * gcap, dtype=jnp.int32)
+                        d_of, slot = j // gcap, j % gcap
+                        src = jnp.clip(in_off[d_of] + slot, 0, gcap - 1)
+                        val = slot < cnt[d_of]
+                        f_aug = jnp.where(
+                            val[:, None], pay[src], 0
+                        ).reshape(p_sz, gcap, -1)
+                        f_ids = jnp.where(val, ids_s[src], -1).reshape(
+                            p_sz, gcap
+                        )
+                        r_aug = jax.lax.all_to_all(
+                            f_aug, SHARD_AXIS, split_axis=0, concat_axis=0
+                        )
+                        r_ids = jax.lax.all_to_all(
+                            f_ids, SHARD_AXIS, split_axis=0, concat_axis=0
+                        )
+                        rv = (
+                            jnp.arange(gcap, dtype=jnp.int32)[None, :]
+                            < allc[:, me][:, None]
+                        )
+                        all_aug = (
+                            r_aug * rv[..., None].astype(r_aug.dtype)
+                        ).reshape(-1, aug.shape[1])
+                        all_ids = jnp.where(rv, r_ids, -1).reshape(-1)
+                    else:
+                        all_aug = jax.lax.ragged_all_to_all(
+                            pay,
+                            jnp.zeros(
+                                (p_sz * gcap, aug.shape[1]), pay.dtype
+                            ),
+                            in_off, cnt, out_off, recv_sz,
+                            axis_name=SHARD_AXIS,
+                        )
+                        all_ids = jax.lax.ragged_all_to_all(
+                            ids_s,
+                            jnp.full((p_sz * gcap,), -1, jnp.int32),
+                            in_off, cnt, out_off, recv_sz,
+                            axis_name=SHARD_AXIS,
+                        )
+                elif overlap:
                     # express the row broadcast as an all_to_all of P
                     # identical blocks: received block p == shard p's
                     # rows, exactly the all_gather layout — but the TPU
