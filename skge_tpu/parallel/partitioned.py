@@ -793,6 +793,7 @@ class PartitionedTrainer:
         k: int = 1024,
         nbatches: int = 100,
         seed: int = 0,
+        ragged=False,
     ):
         from dataclasses import replace
 
@@ -818,7 +819,7 @@ class PartitionedTrainer:
         self._epoch = make_partitioned_epoch(
             self.model, opt, sampler, margin, mesh,
             length=length, nbatches=max(1, min(nbatches, length)),
-            boundary_cap=cap,
+            boundary_cap=cap, ragged=ragged,
         )
         self._mesh = mesh
         self._state = init_state_partitioned(

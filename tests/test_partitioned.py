@@ -419,3 +419,29 @@ def test_ragged_exchange_emulation_matches_dense():
             np.asarray(a[0].params[k]), np.asarray(b[0].params[k]),
             err_msg=f"ragged param {k}",
         )
+
+
+def test_partitioned_trainer_ragged_matches_dense():
+    """PartitionedTrainer(ragged='emulate') reproduces the dense-exchange
+    trainer bitwise (full epoch driver: shuffle, minibatching, compacted
+    caps, owner-routed gather AND gradient return)."""
+    from skge_tpu import AdaGrad
+    from skge_tpu.parallel.partitioned import PartitionedTrainer
+
+    ds = synthetic_kg(61, 5, n_train=500, seed=23, clustered=True)
+    model = TransE(ds.n_entities, ds.n_relations, 16, dtype="float64")
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+
+    def run(mode):
+        return PartitionedTrainer(
+            model, AdaGrad(lr=0.1), ds.train, mesh, margin=0.5, k=32,
+            nbatches=5, seed=7, ragged=mode,
+        ).fit(epochs=2)
+
+    a, b = run(False), run("emulate")
+    assert [m["nviolations"] for m in a.metrics] == [
+        m["nviolations"] for m in b.metrics
+    ]
+    pa, pb = a.params(), b.params()
+    for k in pa:
+        np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
