@@ -30,6 +30,7 @@ device-resident the whole run (they are small: n_r rows).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
 from typing import Dict, Optional, Tuple
 
@@ -436,6 +437,88 @@ class OutOfCoreTrainer:
     @property
     def metrics(self):
         return list(self._metrics)
+
+    def save(self, dirpath: str) -> "OutOfCoreTrainer":
+        """Checkpoint without ever building a full-table copy: the
+        host-resident entity slots write one npz PER PARTITION (the
+        natural sharded layout); device-resident relation/dense state,
+        RNG key, step and metric history go to a replicated file."""
+        import json
+
+        from skge_tpu.utils.checkpoint import _atomic_savez
+
+        self.flush()
+        os.makedirs(dirpath, exist_ok=True)
+        s = self.part_size
+        for p in range(self.n_parts):
+            _atomic_savez(
+                os.path.join(dirpath, f"part_{p:05d}.npz"),
+                {kk: v[p * s: (p + 1) * s] for kk, v in self.e_host.items()},
+            )
+        rep = {f"params::{kk}": np.asarray(v)
+               for kk, v in self.dev_params.items()}
+        for kk, slots in self.dev_opt.items():
+            for sn, v in slots.items():
+                rep[f"opt::{kk}::{sn}"] = np.asarray(v)
+        rep["key"] = np.asarray(jax.random.key_data(self.key)) if hasattr(
+            self.key, "dtype"
+        ) and jnp.issubdtype(self.key.dtype, jax.dtypes.prng_key) else (
+            np.asarray(self.key)
+        )
+        rep["step"] = np.asarray(self.step)
+        _atomic_savez(os.path.join(dirpath, "replicated.npz"), rep)
+        meta = {"n_parts": self.n_parts, "part_size": s,
+                "metrics": self._metrics}
+        tmp = os.path.join(dirpath, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(dirpath, "manifest.json"))
+        return self
+
+    def restore(self, dirpath: str) -> "OutOfCoreTrainer":
+        """Resume from `save`: part files stream straight into the host
+        table slots; trainer geometry (n_parts, part_size) must match."""
+        import json
+
+        with open(os.path.join(dirpath, "manifest.json")) as f:
+            meta = json.load(f)
+        if (meta["n_parts"], meta["part_size"]) != (
+            self.n_parts, self.part_size,
+        ):
+            raise ValueError(
+                f"checkpoint geometry {meta['n_parts']}x{meta['part_size']} "
+                f"!= trainer {self.n_parts}x{self.part_size}"
+            )
+        self._cache.clear()
+        self._lru.clear()
+        s = self.part_size
+        for p in range(self.n_parts):
+            with np.load(
+                os.path.join(dirpath, f"part_{p:05d}.npz")
+            ) as z:
+                for kk in z.files:
+                    self.e_host[kk][p * s: (p + 1) * s] = z[kk]
+        with np.load(os.path.join(dirpath, "replicated.npz")) as z:
+            self.dev_params = {
+                k.split("::", 1)[1]: jnp.asarray(z[k])
+                for k in z.files if k.startswith("params::")
+            }
+            self.dev_opt = {}
+            for k in z.files:
+                if k.startswith("opt::"):
+                    _, pname, sn = k.split("::")
+                    self.dev_opt.setdefault(pname, {})[sn] = jnp.asarray(z[k])
+            key = z["key"]
+            self.key = (
+                jax.random.wrap_key_data(jnp.asarray(key))
+                if hasattr(self.key, "dtype") and jnp.issubdtype(
+                    self.key.dtype, jax.dtypes.prng_key
+                )
+                else jnp.asarray(key)
+            )
+            self.step = jnp.asarray(z["step"])
+        self._metrics = list(meta.get("metrics", []))
+        return self
 
     def params(self) -> Params:
         """Full-size host params in ORIGINAL entity ids (for eval/save)."""

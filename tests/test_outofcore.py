@@ -194,3 +194,37 @@ def test_prefetch_preserves_trajectory_and_fills_free_slot():
     # prefetch into the free slot converts at least one in-loop blocking
     # upload into an early one; the total upload count cannot grow
     assert b.uploads <= a.uploads + 1  # wraparound prefetch may add one
+
+
+def test_ooc_checkpoint_resume_exact(tmp_path):
+    """save/restore round-trips the host-resident sharded state (one npz
+    per partition, no full-table copy): resuming reproduces the
+    uninterrupted trajectory bit-for-bit."""
+    ds = synthetic_kg(n_entities=90, n_relations=5, n_train=900, seed=8,
+                      clustered=True)
+    model = TransE(ds.n_entities, ds.n_relations, 16, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+
+    def mk():
+        return OutOfCoreTrainer(
+            model, opt, ds.train, n_parts=3, k=32, nbatches=6, seed=1,
+            cache_parts=2,
+        )
+
+    full = mk().fit(epochs=4)
+
+    t = mk().fit(epochs=2)
+    ck = str(tmp_path / "ooc_ck")
+    t.save(ck)
+    import os
+
+    assert sorted(os.listdir(ck)) == [
+        "manifest.json", "part_00000.npz", "part_00001.npz",
+        "part_00002.npz", "replicated.npz",
+    ]
+    t2 = mk().restore(ck)
+    assert [m["loss"] for m in t2.metrics] == [m["loss"] for m in t.metrics]
+    t2.fit(epochs=2)
+    pa, pb = full.params(), t2.params()
+    for k in pa:
+        np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
