@@ -132,7 +132,13 @@ def object_boundary_cap(
 def _warn_if_cap_exceeded(n_needed, cap: int, what: str) -> None:
     """Runtime guard for an undersized compaction cap: rows beyond the cap
     silently contribute zero gradient, so surface it loudly (device-side
-    print fires only when tripped; steady-state cost is one reduce)."""
+    print fires only when tripped; steady-state cost is one reduce).
+
+    OPT-IN (`debug_checks=True` on the step/epoch builders): the print is
+    a host callback, which remote-execution PJRT backends (axon tunnel)
+    cannot lower — enabling it unconditionally would break the partitioned
+    path on exactly the hardware it targets. PartitionedTrainer sizes the
+    cap exactly (object_boundary_cap) and does not need it."""
 
     def warn():
         jax.debug.print(
@@ -155,6 +161,7 @@ def make_partitioned_pairwise_step(
     boundary_cap: int | None = None,
     overlap: bool = True,
     ragged=False,
+    debug_checks: bool = False,
 ):
     """Jitted partition-aligned pairwise step.
 
@@ -193,7 +200,7 @@ def make_partitioned_pairwise_step(
         raise ValueError("ragged exchange requires boundary_cap")
     local_step = _build_local_step(
         model, opt, sampler, margin, epname, s_rows, shared, boundary_cap,
-        overlap, ragged,
+        overlap, ragged, debug_checks,
     )
 
     def block_step(state: TrainState, batch, mask):
@@ -254,7 +261,7 @@ def _prep(model, opt, mesh, sampler, boundary_cap):
 
 def _build_local_step(
     model, opt, sampler, margin, epname, s_rows, shared, boundary_cap,
-    overlap=True, ragged=False,
+    overlap=True, ragged=False, debug_checks=False,
 ):
     """Per-shard step body: (state, (L, 3) batch, (L,) mask) -> updated
     state + globally-psum'd metrics. Runs inside shard_map."""
@@ -403,9 +410,10 @@ def _build_local_step(
             local = idx - row_off
             own = jnp.logical_and(local >= 0, local < s_rows)
             needed = jnp.logical_and(~own, mask > 0)
-            _warn_if_cap_exceeded(
-                jnp.sum(needed), boundary_cap, "boundary_cap"
-            )
+            if debug_checks:
+                _warn_if_cap_exceeded(
+                    jnp.sum(needed), boundary_cap, "boundary_cap"
+                )
             req_pos = jnp.argsort(~needed)[:boundary_cap]  # needed first
             if ragged:
                 mine = _ragged_exchange(idx[req_pos])   # (C, d)
@@ -475,9 +483,10 @@ def _build_local_step(
                 # rows always fit the cap even after shuffling
                 nonzero = jnp.any(aug != 0, axis=1)
                 needed = jnp.logical_and(~own, nonzero)
-                _warn_if_cap_exceeded(
-                    jnp.sum(needed), gcap, "gradient-return cap"
-                )
+                if debug_checks:
+                    _warn_if_cap_exceeded(
+                        jnp.sum(needed), gcap, "gradient-return cap"
+                    )
                 npos = jnp.argsort(~needed)[:gcap]      # needed first
                 # zero the surplus slots (owned rows already scattered
                 # above — without this they would double-count)
@@ -621,6 +630,7 @@ def make_partitioned_epoch(
     boundary_cap: int | None = None,
     overlap: bool = True,
     ragged=False,
+    debug_checks: bool = False,
 ):
     """Jitted epoch over partitioned batches: per-shard on-device shuffle
     + minibatch scan of the partitioned step (the `make_epoch_fn`
@@ -649,7 +659,7 @@ def make_partitioned_epoch(
         raise ValueError("ragged exchange requires boundary_cap")
     local_step = _build_local_step(
         model, opt, sampler, margin, epname, s_rows, shared, cap, overlap,
-        ragged,
+        ragged, debug_checks,
     )
 
     def local_epoch(state: TrainState, batch, mask):

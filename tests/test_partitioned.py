@@ -445,3 +445,33 @@ def test_partitioned_trainer_ragged_matches_dense():
     pa, pb = a.params(), b.params()
     for k in pa:
         np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
+
+
+def test_debug_checks_cap_warning_compiles_and_runs(capfd):
+    """debug_checks=True adds the undersized-cap device warning (opt-in:
+    the host callback cannot lower on remote-execution backends)."""
+    ds = synthetic_kg(61, 5, n_train=400, seed=7, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    batches_np, mask_np, _ = partition_edges(
+        rel, _range_part(n_pad, s), P_PARTS
+    )
+    batches = jnp.asarray(batches_np)
+    mask = jnp.asarray(mask_np, jnp.float64)
+    model = TransE(n_pad, ds.n_relations, 16, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    rng = np.random.default_rng(11)
+    sampler = FixedPool(jnp.asarray(rng.integers(0, n_pad, 7), jnp.int32))
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    step = make_partitioned_pairwise_step(
+        model, opt, sampler, 0.7, mesh, boundary_cap=1,  # deliberately tiny
+        debug_checks=True,
+    )
+    state = shard_state_partitioned(
+        init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+    )
+    state, _ = step(state, batches, mask)
+    jax.block_until_ready(state.params["E"])
+    out = capfd.readouterr()
+    assert "PARTITIONED WARNING" in out.out + out.err
