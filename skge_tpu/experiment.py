@@ -179,7 +179,100 @@ class Experiment:
                 return False
         return True
 
+    def _run_scaleout(self) -> dict:
+        """`--trainer partitioned|outofcore`: the scale-out trainers under
+        the same harness protocol — periodic valid eval every `--test-all`
+        epochs, best-MRR retention, patience early stop, final test eval.
+        Both are shared-pool pairwise paths (their production scheme)."""
+        import jax
+        import jax.numpy as jnp
+
+        from skge_tpu.optim import AdaGrad
+
+        args = self.args
+        opt = AdaGrad(lr=args.lr)
+        if args.trainer == "partitioned":
+            from skge_tpu.parallel.distributed import initialize
+            from skge_tpu.parallel.partitioned import (
+                PartitionedTrainer, make_shard_mesh,
+            )
+
+            initialize()  # env/pod-driven; no-op single host
+            tr = PartitionedTrainer(
+                self.model, opt, self.ds.train, make_shard_mesh(),
+                margin=args.margin, k=args.k, nbatches=args.nb,
+                seed=args.seed,
+            )
+
+            def eval_split(split):
+                return tr.evaluate(
+                    split, self.ds.all_triples(), batch_size=args.eval_batch
+                )
+        else:
+            from skge_tpu.outofcore import OutOfCoreTrainer
+
+            tr = OutOfCoreTrainer(
+                self.model, opt, self.ds.train, n_parts=args.parts,
+                margin=args.margin, k=args.k, nbatches=args.nb,
+                seed=args.seed,
+            )
+
+            def eval_split(split):
+                from skge_tpu.evaluation import evaluate
+
+                params = {
+                    k: jnp.asarray(v) for k, v in tr.params().items()
+                }
+                return evaluate(
+                    self.model, params, split, self.ds.all_triples(),
+                    batch_size=args.eval_batch,
+                )
+
+        t0 = timeit.default_timer()
+        chunk = args.test_all if args.test_all > 0 else args.me
+        epoch = 0
+        while epoch < args.me:
+            n = min(chunk, args.me - epoch)
+            tr.fit(epochs=n)
+            epoch += n
+            m = tr.metrics[-1]
+            log.info(
+                "epoch %d  loss=%.4f  violations=%d",
+                epoch, m["loss"], int(m.get("nviolations", 0)),
+            )
+            if args.test_all <= 0 or len(self.ds.valid) == 0:
+                continue
+            res = eval_split(self.ds.valid)
+            log.info(
+                "  VALID epoch %d: MRR=%.4f Hits@10=%.3f MR=%.1f",
+                epoch, res.mrr, res.hits[10], res.mean_rank,
+            )
+            if res.mrr > self.best_mrr:
+                self.best_mrr = res.mrr
+                self.evals_without_improvement = 0
+                if args.fout:
+                    tr.save(args.fout + ".sharded")
+            else:
+                self.evals_without_improvement += 1
+                if self.evals_without_improvement >= args.patience:
+                    log.info("early stop: no valid-MRR improvement")
+                    break
+        result = {
+            "train_seconds": timeit.default_timer() - t0,
+            "epochs": epoch,
+        }
+        if len(self.ds.test) > 0 and args.mode == "rank":
+            res = eval_split(self.ds.test)
+            result.update(res.summary())
+            log.info(
+                "TEST: MRR=%.4f (raw %.4f)  Hits@10=%.3f  MR=%.1f",
+                res.mrr, res.mrr_raw, res.hits[10], res.mean_rank,
+            )
+        return result
+
     def run(self) -> dict:
+        if self.args.trainer != "single":
+            return self._run_scaleout()
         t0 = timeit.default_timer()
         state = self.trainer.fit(self.ds.train)
         train_time = timeit.default_timer() - t0
@@ -247,6 +340,13 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--l2", action="store_true", help="TransE: squared-L2 distance")
     p.add_argument("--ntries", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trainer", default="single",
+                   choices=["single", "partitioned", "outofcore"],
+                   help="'partitioned': multi-device (and multi-host via "
+                   "SKGE_* env) SPMD trainer; 'outofcore': PBG-style "
+                   "bucketed trainer for tables beyond HBM")
+    p.add_argument("--parts", type=int, default=2,
+                   help="[outofcore] number of entity partitions")
     p.add_argument("--patience", type=int, default=3)
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=1024)
     p.add_argument("--metrics", default=None, help="JSONL metrics path")

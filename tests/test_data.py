@@ -52,6 +52,24 @@ def test_experiment_cli_fin_roundtrip(tmp_path):
     assert rc == 0
 
 
+def test_experiment_cli_scaleout_trainers(tmp_path):
+    """--trainer partitioned / outofcore run the full harness loop
+    (periodic valid eval, best retention, sharded checkpoint, test eval)."""
+    from skge_tpu.experiment import main
+
+    ds = synthetic_kg(60, 4, n_train=400, n_valid=40, n_test=40, seed=3)
+    path = str(tmp_path / "kg.bin")
+    save_dataset(ds, path)
+    for extra in (["--trainer", "partitioned"],
+                  ["--trainer", "outofcore", "--parts", "2"]):
+        rc = main([
+            "--cpu", "--fin", path, "--model", "transe", "--ncomp", "16",
+            "--me", "2", "--nb", "8", "--test-all", "2", "--k", "32",
+            "--fout", str(tmp_path / "best"),
+        ] + extra)
+        assert rc == 0, extra
+
+
 def test_latent_kg_capacity_guard():
     with pytest.raises(ValueError, match="unique noise-free"):
         latent_kg(n_entities=10, n_relations=2, n_train=100)
