@@ -197,8 +197,9 @@ def main() -> None:
         open(args.dump, "w").write(hlo)
     records, sync = analyze(hlo)
     print(f"{'kind':<20}{'bytes':>12}{'overlap cycles':>16}{'ops inside':>12}")
-    print("(ragged-all-to-all 'bytes' = static output BUFFER; actual "
-          "transfer = sum of dynamic send_sizes, ~P-fold smaller here)")
+    if any("ragged" in r["kind"] for r in records + sync):
+        print("(ragged-all-to-all 'bytes' = static output BUFFER; actual "
+              "transfer = sum of dynamic send_sizes, ~P-fold smaller)")
     tot = 0
     for r in sorted(records, key=lambda r: -r["bytes"]):
         print(f"{r['kind']:<20}{r['bytes']:>12}{r['overlap_cycles']:>16}"

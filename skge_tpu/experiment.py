@@ -73,6 +73,13 @@ class Experiment:
 
     def __init__(self, args: argparse.Namespace):
         self.args = args
+        if args.trainer == "partitioned":
+            # must run before ANY backend-initializing JAX call (sampler
+            # construction below builds device arrays) — otherwise the
+            # process is pinned single-host on pods
+            from skge_tpu.parallel.distributed import initialize
+
+            initialize()
         if args.tsv:
             from skge_tpu.data import load_tsv
 
@@ -120,10 +127,27 @@ class Experiment:
             seed=args.seed,
             metrics_jsonl=args.metrics,
         )
-        sampler = build_sampler(args.sampler, self.ds, args.ntries, args.k)
-        self.trainer = Trainer(
-            self.model, sampler, cfg, post_epoch=[self._callback]
-        )
+        if args.trainer == "single":
+            sampler = build_sampler(args.sampler, self.ds, args.ntries, args.k)
+            self.trainer = Trainer(
+                self.model, sampler, cfg, post_epoch=[self._callback]
+            )
+        else:
+            self.trainer = None
+            ignored = []
+            if args.sampler != "shared":
+                ignored.append(f"--sampler {args.sampler} (shared pool only)")
+            if args.aggregate != "unique":
+                ignored.append(f"--aggregate {args.aggregate}")
+            if args.no_pairwise:
+                ignored.append("--no-pairwise (pairwise only)")
+            if args.metrics:
+                ignored.append("--metrics (use trainer.metrics)")
+            if ignored:
+                log.warning(
+                    "--trainer %s ignores: %s", args.trainer,
+                    "; ".join(ignored),
+                )
         self.best_mrr = -1.0
         self.best_params = None
         self.evals_without_improvement = 0
@@ -192,12 +216,10 @@ class Experiment:
         args = self.args
         opt = AdaGrad(lr=args.lr)
         if args.trainer == "partitioned":
-            from skge_tpu.parallel.distributed import initialize
             from skge_tpu.parallel.partitioned import (
                 PartitionedTrainer, make_shard_mesh,
             )
 
-            initialize()  # env/pod-driven; no-op single host
             tr = PartitionedTrainer(
                 self.model, opt, self.ds.train, make_shard_mesh(),
                 margin=args.margin, k=args.k, nbatches=args.nb,
@@ -228,6 +250,7 @@ class Experiment:
                     batch_size=args.eval_batch,
                 )
 
+        best_params = None
         t0 = timeit.default_timer()
         chunk = args.test_all if args.test_all > 0 else args.me
         epoch = 0
@@ -250,6 +273,7 @@ class Experiment:
             if res.mrr > self.best_mrr:
                 self.best_mrr = res.mrr
                 self.evals_without_improvement = 0
+                best_params = tr.params()  # host copy in ORIGINAL ids
                 if args.fout:
                     tr.save(args.fout + ".sharded")
             else:
@@ -262,7 +286,20 @@ class Experiment:
             "epochs": epoch,
         }
         if len(self.ds.test) > 0 and args.mode == "rank":
-            res = eval_split(self.ds.test)
+            if best_params is not None:
+                # best-MRR retention (same contract as the single path):
+                # test eval on the best validation params, not the
+                # possibly-degraded final state
+                from skge_tpu.evaluation import evaluate
+
+                res = evaluate(
+                    self.model,
+                    {k: jnp.asarray(v) for k, v in best_params.items()},
+                    self.ds.test, self.ds.all_triples(),
+                    batch_size=args.eval_batch,
+                )
+            else:
+                res = eval_split(self.ds.test)
             result.update(res.summary())
             log.info(
                 "TEST: MRR=%.4f (raw %.4f)  Hits@10=%.3f  MR=%.1f",
@@ -344,7 +381,10 @@ def make_parser() -> argparse.ArgumentParser:
                    choices=["single", "partitioned", "outofcore"],
                    help="'partitioned': multi-device (and multi-host via "
                    "SKGE_* env) SPMD trainer; 'outofcore': PBG-style "
-                   "bucketed trainer for tables beyond HBM")
+                   "bucketed trainer for tables beyond HBM (NOTE: "
+                   "harness evaluation materializes the full table on "
+                   "the device -- train at any scale, evaluate at "
+                   "fits-in-HBM scale; streamed eval is not wired here)")
     p.add_argument("--parts", type=int, default=2,
                    help="[outofcore] number of entity partitions")
     p.add_argument("--patience", type=int, default=3)

@@ -467,7 +467,12 @@ class OutOfCoreTrainer:
         )
         rep["step"] = np.asarray(self.step)
         _atomic_savez(os.path.join(dirpath, "replicated.npz"), rep)
+        import zlib
+
         meta = {"n_parts": self.n_parts, "part_size": s,
+                "partition_crc": int(
+                    zlib.crc32(np.ascontiguousarray(self.new_of_old))
+                ),
                 "metrics": self._metrics}
         tmp = os.path.join(dirpath, "manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -488,6 +493,16 @@ class OutOfCoreTrainer:
             raise ValueError(
                 f"checkpoint geometry {meta['n_parts']}x{meta['part_size']} "
                 f"!= trainer {self.n_parts}x{self.part_size}"
+            )
+        import zlib
+
+        crc = int(zlib.crc32(np.ascontiguousarray(self.new_of_old)))
+        if meta.get("partition_crc", crc) != crc:
+            raise ValueError(
+                "checkpoint was saved with a DIFFERENT entity partition "
+                "(other triples/seed): restoring would map rows to wrong "
+                "entities; rebuild the trainer with the saving run's "
+                "triples and seed"
             )
         self._cache.clear()
         self._lru.clear()

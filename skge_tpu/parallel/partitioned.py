@@ -129,6 +129,54 @@ def object_boundary_cap(
     return max(caps) if caps else 0
 
 
+def _ragged_send(
+    payload, in_off, sizes, out_off, recv_sizes, out_len, emulate, fill=0
+):
+    """One owner-routed hop (inside shard_map over SHARD_AXIS).
+
+    `payload` (N, ...) is the static send buffer with the rows for
+    destination q at [in_off[q], in_off[q]+sizes[q]); my block lands at
+    [out_off[q], +sizes[q]) in q's (out_len, ...) output; I receive
+    recv_sizes[s] rows from each sender s. The destination regions must
+    tile [0, sum(recv_sizes)) (both call sites' cumsum plans do).
+
+    `emulate=True` runs the identical placement through a dense
+    all_to_all frame and a receivers' sum of the disjoint blocks —
+    byte-identical output layout to the real `ragged_all_to_all`, for
+    backends without the op (CPU tests). Untouched tail rows hold
+    `fill`.
+    """
+    if not emulate:
+        return jax.lax.ragged_all_to_all(
+            payload,
+            jnp.full((out_len,) + payload.shape[1:], fill, payload.dtype),
+            in_off.astype(jnp.int32), sizes.astype(jnp.int32),
+            out_off.astype(jnp.int32), recv_sizes.astype(jnp.int32),
+            axis_name=SHARD_AXIS,
+        )
+    p_sz = sizes.shape[0]
+    n = payload.shape[0]
+    j = jnp.arange(p_sz * out_len, dtype=jnp.int32)
+    dest, slot = j // out_len, j % out_len
+    src = jnp.clip(in_off[dest] + (slot - out_off[dest]), 0, n - 1)
+    val = jnp.logical_and(
+        slot >= out_off[dest], slot < out_off[dest] + sizes[dest]
+    )
+    rows = jnp.where(
+        val.reshape((-1,) + (1,) * (payload.ndim - 1)), payload[src], 0
+    ).reshape((p_sz, out_len) + payload.shape[1:])
+    out = jnp.sum(
+        jax.lax.all_to_all(rows, SHARD_AXIS, split_axis=0, concat_axis=0),
+        axis=0,
+    )
+    if fill != 0:
+        tail = jnp.arange(out_len) >= jnp.sum(recv_sizes)
+        out = jnp.where(
+            tail.reshape((-1,) + (1,) * (out.ndim - 1)), fill, out
+        )
+    return out
+
+
 def _warn_if_cap_exceeded(n_needed, cap: int, what: str) -> None:
     """Runtime guard for an undersized compaction cap: rows beyond the cap
     silently contribute zero gradient, so surface it loudly (device-side
@@ -359,40 +407,10 @@ def _build_local_step(
             sizes_for_me = all_counts[:, me]             # (P,) rows per dest q
             input_offsets = jnp.cumsum(sizes_for_me) - sizes_for_me
             output_offsets = starts[:, me]               # my block's spot at q
-            recv_sizes = counts                          # from each owner o
-            if ragged == "emulate":
-                # place my block for q at its ragged output offset inside a
-                # dense (P, C, d) frame; receivers sum over senders (one
-                # nonzero owner per row)
-                j = jnp.arange(p_sz * boundary_cap, dtype=jnp.int32)
-                dest = j // boundary_cap
-                slot = j % boundary_cap
-                src_row = input_offsets[dest] + (slot - output_offsets[dest])
-                valid = jnp.logical_and(
-                    slot >= output_offsets[dest],
-                    slot < output_offsets[dest] + sizes_for_me[dest],
-                )
-                frame = jnp.where(
-                    valid[:, None],
-                    send_rows[jnp.clip(src_row, 0, p_sz * c - 1)],
-                    0,
-                ).reshape(p_sz, boundary_cap, -1)
-                recv = jnp.sum(
-                    jax.lax.all_to_all(
-                        frame, SHARD_AXIS, split_axis=0, concat_axis=0
-                    ),
-                    axis=0,
-                )                                        # (C, d) owner-ordered
-            else:
-                recv = jax.lax.ragged_all_to_all(
-                    send_rows,
-                    jnp.zeros((c,) + send_rows.shape[1:], send_rows.dtype),
-                    input_offsets.astype(jnp.int32),
-                    sizes_for_me.astype(jnp.int32),
-                    output_offsets.astype(jnp.int32),
-                    recv_sizes.astype(jnp.int32),
-                    axis_name=SHARD_AXIS,
-                )                                        # (C, d) owner-ordered
+            recv = _ragged_send(
+                send_rows, input_offsets, sizes_for_me, output_offsets,
+                counts, c, emulate=(ragged == "emulate"),
+            )                                            # (C, d) owner-ordered
             inv = jnp.zeros((c,), jnp.int32).at[o_perm].set(
                 jnp.arange(c, dtype=jnp.int32)
             )
@@ -513,46 +531,15 @@ def _build_local_step(
                     col_cum = jnp.cumsum(allc, axis=0) - allc
                     out_off = col_cum[me].astype(jnp.int32)
                     recv_sz = allc[:, me].astype(jnp.int32)
-                    if ragged == "emulate":
-                        j = jnp.arange(p_sz * gcap, dtype=jnp.int32)
-                        d_of, slot = j // gcap, j % gcap
-                        src = jnp.clip(in_off[d_of] + slot, 0, gcap - 1)
-                        val = slot < cnt[d_of]
-                        f_aug = jnp.where(
-                            val[:, None], pay[src], 0
-                        ).reshape(p_sz, gcap, -1)
-                        f_ids = jnp.where(val, ids_s[src], -1).reshape(
-                            p_sz, gcap
-                        )
-                        r_aug = jax.lax.all_to_all(
-                            f_aug, SHARD_AXIS, split_axis=0, concat_axis=0
-                        )
-                        r_ids = jax.lax.all_to_all(
-                            f_ids, SHARD_AXIS, split_axis=0, concat_axis=0
-                        )
-                        rv = (
-                            jnp.arange(gcap, dtype=jnp.int32)[None, :]
-                            < allc[:, me][:, None]
-                        )
-                        all_aug = (
-                            r_aug * rv[..., None].astype(r_aug.dtype)
-                        ).reshape(-1, aug.shape[1])
-                        all_ids = jnp.where(rv, r_ids, -1).reshape(-1)
-                    else:
-                        all_aug = jax.lax.ragged_all_to_all(
-                            pay,
-                            jnp.zeros(
-                                (p_sz * gcap, aug.shape[1]), pay.dtype
-                            ),
-                            in_off, cnt, out_off, recv_sz,
-                            axis_name=SHARD_AXIS,
-                        )
-                        all_ids = jax.lax.ragged_all_to_all(
-                            ids_s,
-                            jnp.full((p_sz * gcap,), -1, jnp.int32),
-                            in_off, cnt, out_off, recv_sz,
-                            axis_name=SHARD_AXIS,
-                        )
+                    emu = ragged == "emulate"
+                    all_aug = _ragged_send(
+                        pay, in_off, cnt, out_off, recv_sz, p_sz * gcap,
+                        emulate=emu,
+                    )
+                    all_ids = _ragged_send(
+                        ids_s, in_off, cnt, out_off, recv_sz, p_sz * gcap,
+                        emulate=emu, fill=-1,
+                    )
                 elif overlap:
                     # express the row broadcast as an all_to_all of P
                     # identical blocks: received block p == shard p's
