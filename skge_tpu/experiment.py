@@ -240,13 +240,11 @@ class Experiment:
             )
 
             def eval_split(split):
-                from skge_tpu.evaluation import evaluate
-
-                params = {
-                    k: jnp.asarray(v) for k, v in tr.params().items()
-                }
-                return evaluate(
-                    self.model, params, split, self.ds.all_triples(),
+                # streamed: candidates arrive one partition at a time —
+                # evaluation works at the same beyond-HBM scale as
+                # training (never materializes the full table on device)
+                return tr.evaluate(
+                    split, self.ds.all_triples(),
                     batch_size=args.eval_batch,
                 )
 
@@ -381,10 +379,9 @@ def make_parser() -> argparse.ArgumentParser:
                    choices=["single", "partitioned", "outofcore"],
                    help="'partitioned': multi-device (and multi-host via "
                    "SKGE_* env) SPMD trainer; 'outofcore': PBG-style "
-                   "bucketed trainer for tables beyond HBM (NOTE: "
-                   "harness evaluation materializes the full table on "
-                   "the device -- train at any scale, evaluate at "
-                   "fits-in-HBM scale; streamed eval is not wired here)")
+                   "bucketed trainer for tables beyond HBM (train AND "
+                   "evaluate: validation streams candidates one "
+                   "partition at a time)")
     p.add_argument("--parts", type=int, default=2,
                    help="[outofcore] number of entity partitions")
     p.add_argument("--patience", type=int, default=3)

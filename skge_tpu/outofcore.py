@@ -535,6 +535,196 @@ class OutOfCoreTrainer:
         self._metrics = list(meta.get("metrics", []))
         return self
 
+    def evaluate(
+        self,
+        test: np.ndarray,
+        known: Optional[np.ndarray] = None,
+        batch_size: int = 512,
+        hits_at: Tuple[int, ...] = (1, 3, 10),
+        ties: str = "mean",
+    ):
+        """Streamed filtered ranking over the HOST-resident table — the
+        beyond-HBM evaluation the bucketed trainer needs: candidate
+        entities arrive one PARTITION at a time (device holds one (S, d)
+        slice plus a (B, S) score block; never the full table), and ranks
+        accumulate as running greater/equal counts against the target's
+        score. Known-true filtering subtracts the counts of the filter
+        pairs' own scores — no (B, n_e) matrix, no -inf scatter.
+
+        Rank integers are EXACTLY the in-core `evaluation.evaluate`
+        values (same comparisons, partitioned only in the counting), see
+        tests/test_outofcore.py. Mirrors the reference protocol
+        (SURVEY.md §3.4) incl. mean/optimistic tie-breaking.
+        """
+        import jax
+        from functools import partial
+
+        from skge_tpu.data import true_triple_index
+        from skge_tpu.evaluation import RankingResult, ranking_scores
+
+        if ties not in ("mean", "optimistic"):
+            raise ValueError(f"ties must be 'mean'/'optimistic': {ties!r}")
+        self.flush()
+        model = self.full_model
+        epname = next(pn for _, pn, r in model.slot_spec() if r == "s")
+        e_tab = self.e_host["param"]
+        s_rows = self.part_size
+        nmap = self.new_of_old
+
+        def remap(t):
+            t = np.asarray(t, np.int64)
+            return np.stack(
+                [nmap[t[:, 0]], nmap[t[:, 1]], t[:, 2]], axis=1
+            ).astype(np.int64)
+
+        test_rel = remap(test)
+        known_rel = remap(test if known is None else known)
+        sp_o, op_s = true_triple_index(known_rel)
+        index = {"o": sp_o, "s": op_s}
+
+        n = len(test_rel)
+        bs = int(min(batch_size, max(1, n)))
+        nb = -(-n // bs)
+        pad = nb * bs - n
+        batches = np.concatenate(
+            [test_rel, np.tile(test_rel[:1], (pad, 1))]
+        ).reshape(nb, bs, 3)
+
+        dense = {k: self.dev_params[k] for k in model.dense_param_names}
+
+        def rows_of(b):
+            s_, o_, p_ = batches[b, :, 0], batches[b, :, 1], batches[b, :, 2]
+            out = {}
+            for slot, pname, role in model.slot_spec():
+                ids = {"s": s_, "o": o_, "p": p_}[role]
+                if pname == epname:
+                    out[slot] = jnp.asarray(e_tab[ids])
+                else:
+                    out[slot] = self.dev_params[pname][jnp.asarray(ids)]
+            return out
+
+        @partial(jax.jit, static_argnames=("mode",))
+        def part_counts(rows, cand, tgt, n_valid, mode, frow, floc):
+            sc = model.score_pool(rows, cand, dense, mode)     # (B, S)
+            valid = (
+                jnp.arange(sc.shape[1]) < n_valid
+            )[None, :]
+            g = jnp.sum(
+                jnp.logical_and(sc > tgt[:, None], valid), axis=1
+            )
+            e = jnp.sum(
+                jnp.logical_and(sc == tgt[:, None], valid), axis=1
+            )
+            # filter-pair corrections: scores of known-true candidates in
+            # THIS part (padding pairs use row == B -> dropped by clip +
+            # zero weight)
+            b = sc.shape[0]
+            ok = frow < b
+            fr = jnp.clip(frow, 0, b - 1)
+            sf = sc[fr, floc]
+            tf = tgt[fr]
+            w = ok.astype(g.dtype)
+            fg = jnp.zeros((b,), g.dtype).at[fr].add((sf > tf) * w)
+            fe = jnp.zeros((b,), g.dtype).at[fr].add((sf == tf) * w)
+            return g, e, fg, fe
+
+        @partial(jax.jit, static_argnames=("mode", "p"))
+        def target_from_part(rows, cand, tids, mode, p):
+            # extract the target's score from the SAME streamed score
+            # matrix used for counting — a separately-computed
+            # score_from_rows target can differ by an ulp from the pool
+            # path and flip >/== comparisons on exact ties
+            sc = model.score_pool(rows, cand, dense, mode)     # (B, S)
+            loc = tids - p * s_rows
+            inp = jnp.logical_and(loc >= 0, loc < sc.shape[1])
+            got = sc[jnp.arange(sc.shape[0]), jnp.clip(loc, 0, sc.shape[1] - 1)]
+            return jnp.where(inp, got, 0)
+
+        results = {}
+        for direction, mode in (("o", 1), ("s", 0)):
+            tcol = 1 if direction == "o" else 0
+            tgts = []
+            for b in range(nb):
+                tids = jnp.asarray(batches[b, :, tcol])
+                t = jnp.zeros((bs,), jnp.asarray(e_tab[:1]).dtype)
+                for p in range(self.n_parts):
+                    cand = jnp.asarray(
+                        e_tab[p * s_rows: (p + 1) * s_rows]
+                    )
+                    t = t + target_from_part(
+                        rows_of(b), cand, tids, mode=mode, p=p
+                    )
+                tgts.append(t)
+            # per (batch, part) filter pairs, pow2-padded (row=bs pads)
+            fpairs = []
+            for b in range(nb):
+                per_part: Dict[int, list] = {}
+                for i, (s_, o_, p_) in enumerate(batches[b]):
+                    if b * bs + i >= n:
+                        continue  # padding test rows filter nothing
+                    key = (
+                        (int(s_), int(p_)) if direction == "o"
+                        else (int(o_), int(p_))
+                    )
+                    ents = index[direction].get(key)
+                    if ents is None:
+                        continue
+                    # dedupe: the in-core path's -inf scatter is
+                    # idempotent on duplicate known triples; the count
+                    # subtraction here must see each pair once
+                    for ent in np.unique(ents).tolist():
+                        per_part.setdefault(ent // s_rows, []).append(
+                            (i, ent % s_rows)
+                        )
+                fpairs.append(per_part)
+            zeros = jnp.zeros((bs,), jnp.int32)
+            acc = {
+                b: [zeros, zeros, zeros, zeros] for b in range(nb)
+            }
+            for p in range(self.n_parts):
+                cand = jnp.asarray(e_tab[p * s_rows: (p + 1) * s_rows])
+                n_valid = int(self.part_counts[p])
+                for b in range(nb):
+                    pl = fpairs[b].get(p, [])
+                    width = 1 if len(pl) <= 1 else 1 << (
+                        len(pl) - 1
+                    ).bit_length()
+                    frow = np.full((width,), bs, np.int32)
+                    floc = np.zeros((width,), np.int32)
+                    if pl:
+                        arr = np.asarray(pl, np.int32)
+                        frow[: len(pl)] = arr[:, 0]
+                        floc[: len(pl)] = arr[:, 1]
+                    g, e, fg, fe = part_counts(
+                        rows_of(b), cand, tgts[b], n_valid, mode=mode,
+                        frow=jnp.asarray(frow), floc=jnp.asarray(floc),
+                    )
+                    a = acc[b]
+                    acc[b] = [a[0] + g, a[1] + e, a[2] + fg, a[3] + fe]
+            ranks = np.zeros((n,), np.float64)
+            ranks_raw = np.zeros((n,), np.float64)
+            for b in range(nb):
+                g, e, fg, fe = (np.asarray(x, np.int64) for x in acc[b])
+                if ties == "optimistic":
+                    raw = 1.0 + g
+                    filt = 1.0 + (g - fg)
+                else:
+                    raw = 1.0 + g + np.maximum(e - 1, 0) * 0.5
+                    filt = 1.0 + (g - fg) + np.maximum(e - fe, 0) * 0.5
+                lo, hi = b * bs, min((b + 1) * bs, n)
+                ranks_raw[lo:hi] = raw[: hi - lo]
+                ranks[lo:hi] = filt[: hi - lo]
+            results[direction] = (ranks, ranks_raw)
+
+        all_filt = np.stack([results["o"][0], results["s"][0]])
+        all_raw = np.stack([results["o"][1], results["s"][1]])
+        mrr, mr, hits = ranking_scores(all_filt, hits_at)
+        mrr_r, mr_r, hits_r = ranking_scores(all_raw, hits_at)
+        return RankingResult(
+            mrr=mrr, mrr_raw=mrr_r, mean_rank=mr, mean_rank_raw=mr_r,
+            hits=hits, hits_raw=hits_r, ranks=all_filt, ranks_raw=all_raw,
+        )
+
     def params(self) -> Params:
         """Full-size host params in ORIGINAL entity ids (for eval/save)."""
         self.flush()

@@ -228,3 +228,33 @@ def test_ooc_checkpoint_resume_exact(tmp_path):
     pa, pb = full.params(), t2.params()
     for k in pa:
         np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
+
+
+def test_streamed_eval_matches_incore_eval():
+    """OutOfCoreTrainer.evaluate streams candidates one partition at a
+    time; the rank integers must EXACTLY equal the in-core evaluator's
+    on the gathered full table (same comparisons, partitioned counting),
+    for both tie conventions."""
+    from skge_tpu.evaluation import FilteredRankingEval
+
+    ds = synthetic_kg(n_entities=90, n_relations=5, n_train=900,
+                      n_test=80, seed=8, clustered=True)
+    model = TransE(ds.n_entities, ds.n_relations, 16, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    ooc = OutOfCoreTrainer(
+        model, opt, ds.train, n_parts=3, k=32, nbatches=6, seed=1,
+    ).fit(epochs=2)
+
+    params = {k: jnp.asarray(v) for k, v in ooc.params().items()}
+    for ties in ("mean", "optimistic"):
+        want = FilteredRankingEval(
+            model, ds.test, ds.all_triples(), batch_size=32, ties=ties
+        )(params)
+        got = ooc.evaluate(
+            ds.test, ds.all_triples(), batch_size=32, ties=ties
+        )
+        np.testing.assert_array_equal(got.ranks, want.ranks, err_msg=ties)
+        np.testing.assert_array_equal(
+            got.ranks_raw, want.ranks_raw, err_msg=ties
+        )
+        assert got.mrr == want.mrr
