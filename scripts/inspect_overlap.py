@@ -133,6 +133,11 @@ def analyze(hlo: str):
 
 def build_step(boundary_cap: int, overlap: bool, ragged: bool = False):
     import jax
+
+    # keep every runtime array on CPU: the AOT TPU compile only needs the
+    # compiler (topology backend), and lowering materializes closure
+    # constants — fetching those from a remote-tunneled chip can hang
+    jax.config.update("jax_platforms", "cpu")
     import numpy as np
     from jax.experimental import topologies
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
