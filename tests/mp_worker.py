@@ -55,7 +55,7 @@ def main() -> None:
         make_shard_mesh,
     )
 
-    ds = synthetic_kg(60, 4, n_train=400, seed=7, clustered=True)
+    ds = synthetic_kg(60, 4, n_train=400, n_test=50, seed=7, clustered=True)
     model = TransE(
         n_entities=ds.n_entities, n_relations=ds.n_relations,
         ncomp=16, dtype="float64",
@@ -81,6 +81,10 @@ def main() -> None:
         m["loss"] for m in tr.metrics
     ], "metric history must survive restore"
     tr2.fit(epochs=1)
+    # sharded evaluation under the gang: each score element is computed
+    # entirely on one device (columns sharded, contraction local), so
+    # ranks must be identical across process topologies
+    ev = tr2.evaluate(ds.test, ds.all_triples(), batch_size=16)
     params = tr.params()  # allgathers across processes
     resumed = tr2.params()
     if jax.process_index() == 0:
@@ -90,6 +94,8 @@ def main() -> None:
             nviolations=np.asarray([m["nviolations"] for m in tr.metrics]),
             resumed_E=resumed["E"],
             resumed_R=resumed["R"],
+            eval_ranks=ev.ranks,
+            eval_ranks_raw=ev.ranks_raw,
             **params,
         )
     dist.sync_global_devices("mp_worker_done")
