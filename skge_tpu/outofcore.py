@@ -195,25 +195,34 @@ class OutOfCoreTrainer:
                 if rows.shape[0]:
                     self.buckets[(pi, pj)] = rows
         self.bucket_len = max(r.shape[0] for r in self.buckets.values())
-        self._prepared: Dict[Tuple[int, int], tuple] = {}
-        for (pi, pj), rows in self.buckets.items():
+        # ALL buckets stack into three host arrays uploaded in ONE
+        # transfer each; buckets then index device-side. Per-bucket
+        # jnp.asarray paid a host->device round trip for every bucket —
+        # 2*P^2 small transfers that dominated init on tunneled backends
+        # (measured: 10+ minutes at P=8 / 2M triples).
+        nb_buckets = len(self.buckets)
+        all_local = np.zeros((nb_buckets, self.bucket_len, 3), np.int32)
+        all_valid = np.zeros((nb_buckets, self.bucket_len), np.float32)
+        all_sizes = np.zeros((nb_buckets, 1, 3), np.int32)
+        self._bucket_row: Dict[Tuple[int, int], int] = {}
+        for bi, ((pi, pj), rows) in enumerate(self.buckets.items()):
             local = rows.copy()
             local[:, 0] -= pi * s
             local[:, 1] -= pj * s
             if pi != pj:
                 local[:, 1] += s
             n = local.shape[0]
-            pad = self.bucket_len - n
-            if pad:
-                local = np.concatenate([local, np.tile(local[:1], (pad, 1))])
-            valid = np.zeros(self.bucket_len, np.float32)
-            valid[:n] = 1.0
-            sizes_row = np.asarray(
-                [[self.part_counts[pi], self.part_counts[pj], 0]], np.int32
+            all_local[bi, :n] = local
+            if n < self.bucket_len:
+                all_local[bi, n:] = local[0]
+            all_valid[bi, :n] = 1.0
+            all_sizes[bi, 0] = (
+                self.part_counts[pi], self.part_counts[pj], 0,
             )
-            self._prepared[(pi, pj)] = (
-                jnp.asarray(local), jnp.asarray(valid), jnp.asarray(sizes_row)
-            )
+            self._bucket_row[(pi, pj)] = bi
+        self._all_local = jnp.asarray(all_local)
+        self._all_valid = jnp.asarray(all_valid)
+        self._all_sizes = jnp.asarray(all_sizes)
         self.nbatches = nbatches
         self.k = k
 
@@ -327,7 +336,10 @@ class OutOfCoreTrainer:
     def _bucket_epoch(self, pi: int, pj: int):
         s = self.part_size
         diag = pi == pj
-        local, valid, sizes_row = self._prepared[(pi, pj)]
+        bi = self._bucket_row[(pi, pj)]
+        local = self._all_local[bi]
+        valid = self._all_valid[bi]
+        sizes_row = self._all_sizes[bi]
 
         # resident rows from the device cache (host upload only on miss).
         # Refresh the LRU slot of already-resident parts FIRST: otherwise a
