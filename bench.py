@@ -39,7 +39,7 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
         "--model", default="transe",
-        choices=["transe", "hole", "rescal", "ermlp", "distmult", "complex"],
+        choices=["transe", "hole", "rescal", "ermlp", "distmult", "complex", "rotate"],
     )
     ap.add_argument("--ncomp", type=int, default=150)
     ap.add_argument("--nbatches", type=int, default=100)

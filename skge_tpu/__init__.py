@@ -11,7 +11,7 @@ Reference-compatible class surface (skge-style Model/Trainer/Sampler API):
 """
 
 from skge_tpu.models import (ERMLP, MODELS, ComplEx, DistMult, HolE,
-                             KGEModel, RESCAL, TransE)
+                             KGEModel, RESCAL, RotatE, TransE)
 from skge_tpu.optim import OPTIMIZERS, AdaGrad, SGD
 from skge_tpu.sampling import (
     SAMPLERS,
@@ -41,6 +41,7 @@ __all__ = [
     "ERMLP",
     "DistMult",
     "ComplEx",
+    "RotatE",
     "MODELS",
     "AdaGrad",
     "SGD",

@@ -9,8 +9,9 @@ from skge_tpu.models.hole import HolE
 from skge_tpu.models.ermlp import ERMLP
 from skge_tpu.models.distmult import DistMult
 from skge_tpu.models.complexe import ComplEx
+from skge_tpu.models.rotate import RotatE
 
-MODELS = {m.name: m for m in (TransE, RESCAL, HolE, ERMLP, DistMult, ComplEx)}
+MODELS = {m.name: m for m in (TransE, RESCAL, HolE, ERMLP, DistMult, ComplEx, RotatE)}
 
 __all__ = [
     "KGEModel",
@@ -20,6 +21,7 @@ __all__ = [
     "ERMLP",
     "DistMult",
     "ComplEx",
+    "RotatE",
     "MODELS",
     "activation",
     "nunif",

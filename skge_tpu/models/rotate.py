@@ -1,0 +1,100 @@
+"""RotatE — relations as rotations in the complex plane (Sun et al.,
+ICLR 2019, arXiv:1902.10197).
+
+Beyond the reference's model roster (SURVEY.md §2.1), added alongside
+DistMult/ComplEx: the standard strong baseline for ANTI-symmetric,
+inverse, and compositional relation patterns that translations (TransE)
+and bilinear forms (DistMult) cannot all express at once.
+
+    score(s, o, p) = -|| E[s] ∘ r_p - E[o] ||^2,   r_p = exp(i * theta_p)
+
+TPU design: entity rows are REAL (n_e, 2d) complex-layout tables (first
+half real, second half imaginary — same fp32 row machinery as ComplEx
+for gathers/scatters/AdaGrad); relations store the (n_r, d) PHASES
+theta, so |r_p| = 1 holds by construction (no post-constraint needed)
+and the phase gradient flows through cos/sin under the same generic
+`jax.grad` pipeline as every other model. Because rotation is an
+isometry, both corruption directions reduce to a squared distance
+between a rotated (B, 2d) query and the candidate table:
+
+    mode 1 (corrupt o):  -|| rot(e_s, +theta) - cand ||^2
+    mode 0 (corrupt s):  -|| rot(e_o, -theta) - cand ||^2
+
+and the norm expansion ||q - e||^2 = |q|^2 - 2 q.e + |e|^2 turns pool
+scoring and the all-entity eval sweep into ONE MXU matmul (identical
+algebra to TransE-L2's eval trick). The squared-L2 form is the
+TPU-first choice (the paper's modulus-L1 variant would broadcast a
+(B, K, d) complex-modulus tensor through the VPU like TransE-L1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from skge_tpu.models.base import INITIALIZERS, KGEModel, Params
+
+
+@dataclass(frozen=True)
+class RotatE(KGEModel):
+    """`ncomp` is the COMPLEX rank: entity rows are 2*ncomp wide,
+    relation rows hold ncomp phases."""
+
+    rparam: float = 0.0
+
+    name = "rotate"
+    reg_row_params = ("E",)  # phases are scale-free; regularizing them
+    #                          would bias rotations toward identity
+
+    def slot_spec(self):
+        return (("es", "E", "s"), ("eo", "E", "o"), ("rp", "R", "p"))
+
+    def init_params(self, key: jax.Array) -> Params:
+        init = INITIALIZERS[self.init]
+        ke, kr = jax.random.split(key)
+        return {
+            "E": init(ke, (self.n_entities, 2 * self.ncomp), self.jdtype),
+            # phases start near identity rotations (small angles from the
+            # standard initializer); training spreads them over (-pi, pi]
+            "R": init(kr, (self.n_relations, self.ncomp), self.jdtype),
+        }
+
+    @staticmethod
+    def _split(x):
+        d = x.shape[-1] // 2
+        return x[..., :d], x[..., d:]
+
+    @staticmethod
+    def _rotate(x, theta, sign=1.0):
+        """Complex-layout rows rotated by `sign * theta` per dimension."""
+        a, b = RotatE._split(x)
+        c, s = jnp.cos(theta), sign * jnp.sin(theta)
+        return jnp.concatenate([a * c - b * s, a * s + b * c], axis=-1)
+
+    def score_from_rows(self, rows, dense):
+        d = self._rotate(rows["es"], rows["rp"]) - rows["eo"]
+        return -jnp.sum(d * d, axis=-1)
+
+    def _query(self, rows, mode):
+        if mode == 1:
+            return self._rotate(rows["es"], rows["rp"])
+        return self._rotate(rows["eo"], rows["rp"], sign=-1.0)
+
+    @staticmethod
+    def _dist_matmul(mxu, q, cand):
+        qn = jnp.sum(q * q, axis=-1, keepdims=True)
+        cn = jnp.sum(cand * cand, axis=-1)[None, :]
+        return -(qn - 2.0 * mxu(q, cand.T) + cn)
+
+    def score_pool(self, rows, pool_rows, dense, mode):
+        return self._dist_matmul(self.mxu, self._query(rows, mode), pool_rows)
+
+    def score_all_o(self, params: Params, s, p):
+        q = self._rotate(params["E"][s], params["R"][p])
+        return self._dist_matmul(self.mxu, q, params["E"])
+
+    def score_all_s(self, params: Params, o, p):
+        q = self._rotate(params["E"][o], params["R"][p], sign=-1.0)
+        return self._dist_matmul(self.mxu, q, params["E"])

@@ -1,4 +1,4 @@
-"""DistMult + ComplEx (beyond-reference baselines): scoring oracles,
+"""DistMult + ComplEx + RotatE (beyond-reference baselines): scoring oracles,
 pool/eval sweep parity, shared-path exactness, end-to-end learning."""
 
 import numpy as np
@@ -10,7 +10,7 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 
-from skge_tpu import AdaGrad, ComplEx, DistMult, init_state, training  # noqa: E402
+from skge_tpu import AdaGrad, ComplEx, DistMult, RotatE, init_state, training  # noqa: E402
 from test_shared import expanded_pairs  # noqa: E402
 
 N_E, N_R, D, B, K = 29, 4, 6, 24, 9
@@ -35,13 +35,19 @@ def numpy_scores(cls, params, s, o, p):
     E, R = np.asarray(params["E"]), np.asarray(params["R"])
     if cls is DistMult:
         return np.sum(E[s] * R[p] * E[o], axis=-1)
+    if cls is RotatE:
+        d = E.shape[1] // 2
+        Ec = E[:, :d] + 1j * E[:, d:]
+        rot = np.exp(1j * R)
+        diff = Ec[s] * rot[p] - Ec[o]
+        return -np.sum(np.abs(diff) ** 2, axis=-1)
     d = E.shape[1] // 2
     Ec = E[:, :d] + 1j * E[:, d:]
     Rc = R[:, :d] + 1j * R[:, d:]
     return np.real(np.sum(Rc[p] * Ec[s] * np.conj(Ec[o]), axis=-1))
 
 
-@pytest.mark.parametrize("cls", [DistMult, ComplEx])
+@pytest.mark.parametrize("cls", [DistMult, ComplEx, RotatE])
 def test_scores_match_numpy_oracle(cls):
     model, params = build(cls)
     t = batch()
@@ -50,7 +56,7 @@ def test_scores_match_numpy_oracle(cls):
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
-@pytest.mark.parametrize("cls", [DistMult, ComplEx])
+@pytest.mark.parametrize("cls", [DistMult, ComplEx, RotatE])
 def test_score_all_matches_per_triple(cls):
     model, params = build(cls)
     t = batch(seed=2)
@@ -68,6 +74,25 @@ def test_score_all_matches_per_triple(cls):
         )
 
 
+def test_rotate_composes_rotations():
+    """RotatE's defining pattern: if r3 = r1 + r2 (phase addition), then
+    scoring with r3 equals rotating twice — the compositionality that
+    translations/bilinear forms lack jointly."""
+    model, params = build(RotatE, seed=9)
+    E = np.asarray(params["E"])
+    R = np.asarray(params["R"])
+    R = R.copy()
+    R[2] = R[0] + R[1]  # r3 = r1 ∘ r2
+    d = E.shape[1] // 2
+    Ec = E[:, :d] + 1j * E[:, d:]
+    x = Ec[3] * np.exp(1j * R[0]) * np.exp(1j * R[1])
+    twice = -np.sum(np.abs(x - Ec[5]) ** 2)
+    p2 = dict(params)
+    p2["R"] = jnp.asarray(R)
+    once = float(model.score(p2, np.array([3]), np.array([5]), np.array([2]))[0])
+    np.testing.assert_allclose(once, twice, rtol=1e-10)
+
+
 def test_complex_handles_asymmetric_relations():
     """ComplEx must distinguish (s, o, p) from (o, s, p); DistMult cannot."""
     model, params = build(ComplEx, seed=3)
@@ -82,7 +107,7 @@ def test_complex_handles_asymmetric_relations():
     np.testing.assert_allclose(fwd, bwd, rtol=1e-12)
 
 
-@pytest.mark.parametrize("cls", [DistMult, ComplEx])
+@pytest.mark.parametrize("cls", [DistMult, ComplEx, RotatE])
 def test_shared_pool_equals_expanded_generic(cls):
     """pairwise_grads_shared == generic pairwise_grads over the fully
     expanded (positive, pool, mode) pair list — same contract test_shared.py
@@ -120,7 +145,7 @@ def test_shared_pool_equals_expanded_generic(cls):
         )
 
 
-@pytest.mark.parametrize("cls", [DistMult, ComplEx])
+@pytest.mark.parametrize("cls", [DistMult, ComplEx, RotatE])
 def test_trains_on_latent_kg(cls):
     from skge_tpu import SharedNegativeSampler, make_epoch_fn, make_pairwise_step
     from skge_tpu.data import latent_kg
