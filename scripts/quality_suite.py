@@ -62,7 +62,7 @@ def main() -> None:
     )
     from skge_tpu.data import latent_kg
     from skge_tpu.evaluation import FilteredRankingEval
-    from skge_tpu.models import ComplEx, DistMult, ERMLP, HolE, RESCAL, TransE
+    from skge_tpu.models import ComplEx, DistMult, ERMLP, HolE, RESCAL, RotatE, TransE
 
     print("building latent KG...", flush=True)
     t0 = time.perf_counter()
@@ -93,6 +93,7 @@ def main() -> None:
         # DistMult is symmetric, so these are expected to trail here
         ("DistMult", DistMult(ds.n_entities, ds.n_relations, 150), 0.5, 0.3, 2048),
         ("ComplEx", ComplEx(ds.n_entities, ds.n_relations, 75), 0.5, 0.3, 2048),
+        ("RotatE", RotatE(ds.n_entities, ds.n_relations, 75), 0.5, 0.3, 2048),
     ]
 
     if args.sampler == "random-mode":
