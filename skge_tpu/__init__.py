@@ -23,6 +23,11 @@ from skge_tpu.sampling import (
 )
 from skge_tpu.outofcore import OutOfCoreTrainer
 from skge_tpu.parallel.partitioned import PartitionedTrainer
+from skge_tpu.serving import (
+    LinkPredictor,
+    StreamedLinkPredictor,
+    top_k_candidates,
+)
 from skge_tpu.training import (
     TrainState,
     init_state,
@@ -48,6 +53,9 @@ __all__ = [
     "OPTIMIZERS",
     "OutOfCoreTrainer",
     "PartitionedTrainer",
+    "LinkPredictor",
+    "StreamedLinkPredictor",
+    "top_k_candidates",
     "RandomModeSampler",
     "LCWASampler",
     "BernoulliSampler",
