@@ -39,7 +39,8 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
         "--model", default="transe",
-        choices=["transe", "hole", "rescal", "ermlp", "distmult", "complex", "rotate"],
+        choices=["transe", "hole", "rescal", "ermlp", "distmult", "complex",
+                 "rotate", "transh", "transr", "tucker"],
     )
     ap.add_argument("--ncomp", type=int, default=150)
     ap.add_argument("--nbatches", type=int, default=100)

@@ -11,7 +11,8 @@ Reference-compatible class surface (skge-style Model/Trainer/Sampler API):
 """
 
 from skge_tpu.models import (ERMLP, MODELS, ComplEx, DistMult, HolE,
-                             KGEModel, RESCAL, RotatE, TransE)
+                             KGEModel, RESCAL, RotatE, TransE, TransH,
+                             TransR, TuckER)
 from skge_tpu.optim import OPTIMIZERS, AdaGrad, SGD
 from skge_tpu.sampling import (
     SAMPLERS,
@@ -47,6 +48,9 @@ __all__ = [
     "DistMult",
     "ComplEx",
     "RotatE",
+    "TransH",
+    "TransR",
+    "TuckER",
     "MODELS",
     "AdaGrad",
     "SGD",

@@ -105,7 +105,7 @@ class Experiment:
             log.info("using %s synthetic KG (no --fin given)", args.synthetic_kind)
         model_cls = MODELS[args.model]
         kw = {}
-        if args.model in ("hole", "rescal", "distmult", "complex"):
+        if args.model in ("hole", "rescal", "distmult", "complex", "tucker"):
             kw["rparam"] = args.rparam
         if args.model == "ermlp":
             kw["nhidden"] = args.nhidden

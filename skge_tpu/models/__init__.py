@@ -1,6 +1,7 @@
 """KGE model family: the reference roster TransE, RESCAL, HolE, ER-MLP
-(SURVEY.md §2.1 #6-9) plus DistMult and ComplEx (standard production
-baselines beyond the reference — see their module docstrings)."""
+(SURVEY.md §2.1 #6-9) plus DistMult, ComplEx, RotatE, TransH, TransR and
+TuckER (standard production baselines beyond the reference — see their
+module docstrings)."""
 
 from skge_tpu.models.base import KGEModel, activation, nunif, normal
 from skge_tpu.models.transe import TransE
@@ -10,8 +11,17 @@ from skge_tpu.models.ermlp import ERMLP
 from skge_tpu.models.distmult import DistMult
 from skge_tpu.models.complexe import ComplEx
 from skge_tpu.models.rotate import RotatE
+from skge_tpu.models.transh import TransH
+from skge_tpu.models.transr import TransR
+from skge_tpu.models.tucker import TuckER
 
-MODELS = {m.name: m for m in (TransE, RESCAL, HolE, ERMLP, DistMult, ComplEx, RotatE)}
+MODELS = {
+    m.name: m
+    for m in (
+        TransE, RESCAL, HolE, ERMLP, DistMult, ComplEx, RotatE,
+        TransH, TransR, TuckER,
+    )
+}
 
 __all__ = [
     "KGEModel",
@@ -22,6 +32,9 @@ __all__ = [
     "DistMult",
     "ComplEx",
     "RotatE",
+    "TransH",
+    "TransR",
+    "TuckER",
     "MODELS",
     "activation",
     "nunif",

@@ -71,7 +71,8 @@ def brute_topk(scores, k):
     return vals, ids
 
 
-MODEL_NAMES = ["transe", "transe_l2", "hole", "rescal", "ermlp", "distmult"]
+MODEL_NAMES = ["transe", "transe_l2", "hole", "rescal", "ermlp", "distmult",
+               "transh", "transr", "tucker"]
 
 
 @pytest.mark.parametrize("name", MODEL_NAMES)
