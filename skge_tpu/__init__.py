@@ -35,6 +35,7 @@ from skge_tpu.training import (
     make_epoch_fn,
     make_pairwise_step,
     make_pointwise_step,
+    make_selfadv_step,
 )
 
 __version__ = "0.1.0"
@@ -70,6 +71,7 @@ __all__ = [
     "init_state",
     "make_pairwise_step",
     "make_pointwise_step",
+    "make_selfadv_step",
     "make_epoch_fn",
     "__version__",
 ]

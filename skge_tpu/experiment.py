@@ -123,6 +123,8 @@ class Experiment:
             learning_rate=args.lr,
             margin=args.margin,
             pairwise=not args.no_pairwise,
+            loss="selfadv" if args.selfadv else "margin",
+            adv_alpha=args.adv_alpha,
             aggregate=args.aggregate,
             seed=args.seed,
             metrics_jsonl=args.metrics,
@@ -141,6 +143,8 @@ class Experiment:
                 ignored.append(f"--aggregate {args.aggregate}")
             if args.no_pairwise:
                 ignored.append("--no-pairwise (pairwise only)")
+            if args.selfadv:
+                ignored.append("--selfadv (pairwise only)")
             if args.metrics:
                 ignored.append("--metrics (use trainer.metrics)")
             if ignored:
@@ -368,6 +372,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", default="rank", choices=["rank", "none"])
     p.add_argument("--no-pairwise", action="store_true",
                    help="use pointwise logistic loss")
+    p.add_argument("--selfadv", action="store_true",
+                   help="self-adversarial loss (Sun et al. 2019; needs "
+                   "--sampler shared)")
+    p.add_argument("--adv-alpha", type=float, default=1.0,
+                   help="self-adversarial softmax temperature")
     p.add_argument("--rparam", type=float, default=0.0)
     p.add_argument("--nhidden", type=int, default=10)
     p.add_argument("--af", default="sigmoid")

@@ -46,6 +46,11 @@ class TrainConfig:
     learning_rate: float = DEF_LEARNING_RATE
     margin: float = DEF_MARGIN
     pairwise: bool = True
+    # 'margin' (default: the pairwise/pointwise pair above) or 'selfadv'
+    # (Sun et al. 2019 self-adversarial loss; needs a pool sampler and
+    # overrides `pairwise`). `adv_alpha` is its softmax temperature.
+    loss: str = "margin"
+    adv_alpha: float = 1.0
     optimizer: str = "adagrad"
     aggregate: str = "unique"
     seed: int = 0
@@ -99,10 +104,24 @@ class Trainer:
     # -- construction of the jitted epoch --
     def _build(self, n_triples: int):
         cfg = self.config
+        if cfg.loss not in ("margin", "selfadv"):
+            raise ValueError(f"unknown loss {cfg.loss!r}")
         if self.mesh is not None:
+            if cfg.loss == "selfadv":
+                raise NotImplementedError(
+                    "selfadv loss on a mesh: use the single-device trainer "
+                    "or make_selfadv_step inside your own shard_map"
+                )
             self._epoch_fn = self._build_mesh_epoch(n_triples)
             return
-        if cfg.pairwise:
+        if cfg.loss == "selfadv":
+            from skge_tpu.training import make_selfadv_step
+
+            step = make_selfadv_step(
+                self.model, self.opt, self.sampler, cfg.margin,
+                cfg.adv_alpha, cfg.aggregate,
+            )
+        elif cfg.pairwise:
             step = make_pairwise_step(
                 self.model, self.opt, self.sampler, cfg.margin, cfg.aggregate
             )

@@ -550,6 +550,95 @@ def pointwise_grads_shared(
     return loss, occ, g_dense
 
 
+def selfadv_grads_shared(
+    model: KGEModel,
+    params: Params,
+    pos: jnp.ndarray,        # (B, 3) positives
+    pool_idx: jnp.ndarray,   # (K,) shared negative entity ids
+    mask: jnp.ndarray,       # (B,) batch validity
+    margin: float,
+    alpha: float = 1.0,
+    modes: Tuple[int, ...] = (0, 1),
+    gather: Optional[Callable] = None,
+):
+    """Shared-pool SELF-ADVERSARIAL gradients (Sun et al. 2019, RotatE).
+
+    No reference counterpart (build-scope; the scheme every modern KGE
+    system ships — DGL-KE/PBG lineage). Per valid positive b with score
+    f_b and pool scores f[b, k] per corruption mode:
+
+        L_b = softplus(-(f_b + margin))
+              + sum_mode sum_k w[b,k] * softplus(f[b,k] + margin)
+        w[b,k] = softmax_k(alpha * f[b,k])        (stop-gradient)
+
+    i.e. -log sigma(margin + f_pos) for the positive and a
+    difficulty-weighted -log sigma(-f_neg - margin) over the pool: hard
+    negatives dominate the gradient instead of being drowned by K easy
+    ones, which is what lets small pools match huge iid negative counts.
+    alpha=0 degenerates to the unweighted mean (1/K) pool logistic loss.
+
+    Duplicate-occurrence averaging uses ELEMENT counts (each expanded
+    (b, mode, k) element counts 1 occurrence regardless of its weight) —
+    the same convention as `pointwise_grads_shared`, pinned against a
+    full-table autodiff oracle in tests/test_selfadv.py.
+    """
+    s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
+    if gather is None:
+        gather = lambda pname, idx, role=None: params[pname][idx]  # noqa: E731
+    role_idx_map = {"s": s, "o": o, "p": p}
+    rows = {
+        slot: gather(pname, role_idx_map[role], role)
+        for slot, pname, role in model.slot_spec()
+    }
+    slot_by_role = {role: (slot, pname) for slot, pname, role in model.slot_spec()}
+    epname = slot_by_role["s"][1]
+    assert epname == slot_by_role["o"][1], "shared pool assumes one entity table"
+    pool_rows = gather(epname, pool_idx, "pool")
+    dense = model.dense_params(params)
+    k = pool_idx.shape[0]
+
+    def loss_fn(rows, pool_rows, dense):
+        f_pos = model.score_from_rows(rows, dense)                    # (B,)
+        loss = jnp.sum(jnp.logaddexp(0.0, -(f_pos + margin)) * mask)
+        for mode in modes:
+            f_neg = model.score_pool(rows, pool_rows, dense, mode)    # (B, K)
+            w = jax.lax.stop_gradient(jax.nn.softmax(alpha * f_neg, axis=1))
+            loss = loss + jnp.sum(
+                w * jnp.logaddexp(0.0, f_neg + margin) * mask[:, None]
+            )
+        return loss
+
+    loss, (g_rows, g_pool, g_dense) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2)
+    )(rows, pool_rows, dense)
+
+    occ: dict = {}
+    for slot, pname, role in model.slot_spec():
+        idxs, grads, counts = occ.setdefault(pname, ([], [], []))
+        if role == "p":
+            cnt = (1.0 + k * len(modes)) * mask
+        else:
+            mode_of_role = 0 if role == "s" else 1
+            n_other = sum(1 for m in modes if m != mode_of_role)
+            cnt = (1.0 + k * n_other) * mask
+        idxs.append(role_idx_map[role])
+        grads.append(g_rows[slot])
+        counts.append(cnt)
+    idxs, grads, counts = occ[epname]
+    idxs.append(pool_idx)
+    grads.append(g_pool)
+    counts.append(
+        jnp.full((k,), float(len(modes)), mask.dtype) * jnp.sum(mask)
+    )
+    occ = {
+        kk: (jnp.concatenate(i), jnp.concatenate(g), jnp.concatenate(c))
+        for kk, (i, g, c) in occ.items()
+    }
+    n_elems = jnp.maximum(jnp.sum(mask) * (1.0 + k * len(modes)), 1.0)
+    g_dense = {kk: v / n_elems for kk, v in g_dense.items()}
+    return loss, occ, g_dense
+
+
 def pointwise_grads_shared_bilinear(
     model: KGEModel,
     params: Params,
@@ -869,6 +958,47 @@ def make_pairwise_step(
         pos_rep, neg, pair_mask = sampler(sk, batch, mask)
         state = state._replace(key=key)
         return update(state, pos_rep, neg, pair_mask)
+
+    return step
+
+
+def make_selfadv_step(
+    model: KGEModel,
+    opt: Optimizer,
+    sampler: Callable,
+    margin: float,
+    alpha: float = 1.0,
+    aggregate: str = "unique",
+):
+    """One self-adversarial step (Sun et al. 2019 loss over a shared pool).
+
+    Requires a `pool`-protocol sampler (SharedNegativeSampler) — the
+    softmax difficulty weights are defined over a candidate pool.
+    `nviolations` in the metrics reports the number of pool pairs whose
+    sigmoid is on the wrong side (f_neg + margin > 0 equivalent count is
+    not defined for a smooth loss; we report 0 — monitor `loss`).
+    """
+    if not hasattr(sampler, "pool"):
+        raise ValueError(
+            "make_selfadv_step needs a shared-pool sampler "
+            "(SharedNegativeSampler); iid samplers have no pool to weight"
+        )
+
+    def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
+        key, sk = jax.random.split(state.key)
+        pool_idx = sampler.pool(sk, batch, mask)
+        loss, occ, g_dense = selfadv_grads_shared(
+            model, state.params, batch, pool_idx, mask, margin, alpha,
+            modes=sampler.modes,
+        )
+        params, opt_state = apply_gradients(
+            model, opt, state.params, state.opt_state, occ, g_dense,
+            aggregate, premasked=True,
+        )
+        new_state = TrainState(params, opt_state, key, state.step + 1)
+        return new_state, StepMetrics(
+            loss=loss, nviolations=jnp.zeros((), loss.dtype)
+        )
 
     return step
 
