@@ -32,6 +32,7 @@ from skge_tpu.serving import (
 from skge_tpu.training import (
     TrainState,
     init_state,
+    make_ce_step,
     make_epoch_fn,
     make_pairwise_step,
     make_pointwise_step,
@@ -69,6 +70,7 @@ __all__ = [
     "SAMPLERS",
     "TrainState",
     "init_state",
+    "make_ce_step",
     "make_pairwise_step",
     "make_pointwise_step",
     "make_selfadv_step",

@@ -123,8 +123,9 @@ class Experiment:
             learning_rate=args.lr,
             margin=args.margin,
             pairwise=not args.no_pairwise,
-            loss="selfadv" if args.selfadv else "margin",
+            loss="ce" if args.ce else ("selfadv" if args.selfadv else "margin"),
             adv_alpha=args.adv_alpha,
+            label_smoothing=args.label_smoothing,
             aggregate=args.aggregate,
             seed=args.seed,
             metrics_jsonl=args.metrics,
@@ -145,6 +146,8 @@ class Experiment:
                 ignored.append("--no-pairwise (pairwise only)")
             if args.selfadv:
                 ignored.append("--selfadv (pairwise only)")
+            if args.ce:
+                ignored.append("--ce (pairwise only)")
             if args.metrics:
                 ignored.append("--metrics (use trainer.metrics)")
             if ignored:
@@ -377,6 +380,11 @@ def make_parser() -> argparse.ArgumentParser:
                    "--sampler shared)")
     p.add_argument("--adv-alpha", type=float, default=1.0,
                    help="self-adversarial softmax temperature")
+    p.add_argument("--ce", action="store_true",
+                   help="full 1-vs-all cross-entropy loss (no sampler; "
+                   "overrides --sampler/--selfadv)")
+    p.add_argument("--label-smoothing", type=float, default=0.0,
+                   help="cross-entropy label smoothing (ConvE uses 0.1)")
     p.add_argument("--rparam", type=float, default=0.0)
     p.add_argument("--nhidden", type=int, default=10)
     p.add_argument("--af", default="sigmoid")

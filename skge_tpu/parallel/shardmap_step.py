@@ -238,6 +238,190 @@ def make_shardmap_pairwise_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_shardmap_ce_step(
+    model: KGEModel,
+    opt: Optimizer,
+    mesh: Mesh,
+    directions: Tuple[str, ...] = ("o", "s"),
+    label_smoothing: float = 0.0,
+):
+    """Vocab-parallel full-cross-entropy step (Megatron-style softmax).
+
+    The TPU-native way to train 1-vs-all at entity counts beyond one
+    chip: E is row-sharded over 'model', each shard scores every positive
+    against ONLY its (n_e/M, d) candidate block — a local MXU matmul —
+    and the softmax is assembled with three scalar-per-row collectives:
+
+        m    = max(all_gather_model(rowmax(local logits)))
+        logZ = log(psum_model(sum(exp(local - m)))) + m
+        f_y  = psum_model(local logits at the label, 0 if not owned)
+
+    so no device ever materializes the full (B, n_e) logit matrix. The
+    label-smoothing term reuses psum_model(rowsum(local logits)).
+
+    Gradients: autodiff runs w.r.t. (gathered query rows, local candidate
+    block, dense params), then the per-device cotangents are rescaled by
+    1/M and the query-row partials completed with one psum('model')
+    before the owned-row scatter (see the in-body note on shard_map's
+    psum transpose), followed by the psum('data') batch reduction. fp64
+    trajectory parity with the single-device `make_ce_step` is pinned in
+    tests/test_ce.py at 1-ulp-per-step agreement.
+    """
+    epname = _entity_param(model)
+    n_e = model.n_entities
+    m_size = mesh.shape[MODEL_AXIS]
+    if n_e % m_size != 0:
+        raise ValueError(
+            f"n_entities={n_e} not divisible by model axis {m_size}; pad the "
+            "entity count (embedding row count is free)"
+        )
+    shard_rows = n_e // m_size
+    specs = _param_specs(model)
+    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
+    state_spec = TrainState(
+        params={k: specs[k] for k in specs},
+        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
+        key=P(),
+        step=P(),
+    )
+    metrics_spec = StepMetrics(loss=P(), nviolations=P())
+    slot_spec = model.slot_spec()
+    ls = float(label_smoothing)
+
+    def local_step(state: TrainState, batch, mask):
+        params = state.params
+        row_off = jax.lax.axis_index(MODEL_AXIS) * shard_rows
+        s, o, p = batch[:, 0], batch[:, 1], batch[:, 2]
+        role_idx = {"s": s, "o": o, "p": p}
+        barange = jnp.arange(batch.shape[0])
+
+        def gather(pname, idx):
+            if pname != epname:
+                return params[pname][idx]
+            local = idx - row_off
+            own = jnp.logical_and(local >= 0, local < shard_rows)
+            rows = params[pname][jnp.clip(local, 0, shard_rows - 1)]
+            rows = jnp.where(
+                own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
+            )
+            return jax.lax.psum(rows, MODEL_AXIS)
+
+        rows = {
+            slot: gather(pname, role_idx[role])
+            for slot, pname, role in slot_spec
+        }
+        e_local = params[epname]
+        dense = model.dense_params(params)
+
+        def loss_fn(rows, e_local, dense):
+            total = 0.0
+            for d in directions:
+                mode = {"o": 1, "s": 0}[d]
+                labels = role_idx[d]
+                logits_l = model.score_pool(rows, e_local, dense, mode)
+                # pmax has no AD rule; all_gather + max does, and the
+                # max-subtraction cotangent cancels exactly as in any
+                # logsumexp implementation
+                mrow = jnp.max(
+                    jax.lax.all_gather(jnp.max(logits_l, axis=1), MODEL_AXIS),
+                    axis=0,
+                )
+                se = jax.lax.psum(
+                    jnp.sum(jnp.exp(logits_l - mrow[:, None]), axis=1),
+                    MODEL_AXIS,
+                )
+                logz = jnp.log(se) + mrow
+                ll = labels - row_off
+                own = jnp.logical_and(ll >= 0, ll < shard_rows)
+                fl = logits_l[barange, jnp.clip(ll, 0, shard_rows - 1)]
+                f_label = jax.lax.psum(jnp.where(own, fl, 0.0), MODEL_AXIS)
+                nll = logz - f_label
+                if ls:
+                    sum_logits = jax.lax.psum(
+                        jnp.sum(logits_l, axis=1), MODEL_AXIS
+                    )
+                    mean_logp = sum_logits / n_e - logz
+                    nll = (1.0 - ls) * nll - ls * mean_logp
+                total = total + jnp.sum(nll * mask)
+            return total
+
+        loss_l, (g_rows, g_cand, g_dense) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2)
+        )(rows, e_local, dense)
+        n_valid = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+        denom = jnp.maximum(n_valid, 1.0)
+        loss = jax.lax.psum(loss_l, DATA_AXIS) / denom
+        # Cotangent bookkeeping (pinned by the multi-shard cases of
+        # tests/test_ce.py): every path from logits to the loss crosses a
+        # model-axis collective, and shard_map transposes psum to psum —
+        # summing the REPLICATED downstream cotangents — so each device's
+        # autodiff grads come back as M * (its true partial). Dividing by
+        # M recovers the partials; the query-row partials then still need
+        # the explicit cross-block completion psum, while the candidate-
+        # block partial is already the whole gradient for owned rows.
+        m_sz = float(m_size)
+        g_rows = {
+            slot: jax.lax.psum(g / m_sz, MODEL_AXIS)
+            for slot, g in g_rows.items()
+        }
+        g_cand = g_cand / m_sz
+
+        # assemble full-table gradients per shard
+        g_tables = {}
+        for slot, pname, role in slot_spec:
+            g = g_rows[slot]
+            idx = role_idx[role]
+            if pname == epname:
+                local = idx - row_off
+                local = jnp.where(
+                    jnp.logical_and(local >= 0, local < shard_rows),
+                    local, shard_rows,
+                )
+                tbl = jnp.zeros_like(params[pname]).at[local].add(
+                    g, mode="drop"
+                )
+            else:
+                tbl = jnp.zeros_like(params[pname]).at[idx].add(g)
+            g_tables[pname] = g_tables.get(pname, 0.0) + tbl
+        g_tables[epname] = g_tables[epname] + g_cand
+        for pname in g_dense:
+            g_tables[pname] = jax.lax.psum(g_dense[pname] / m_sz, MODEL_AXIS)
+
+        reg = model.regularization
+        new_params = dict(params)
+        new_opt = dict(state.opt_state)
+        for pname, g in g_tables.items():
+            g = jax.lax.psum(g, DATA_AXIS) / denom
+            if reg != 0.0 and pname in model.reg_row_params:
+                g = g + reg * new_params[pname]
+            new_params[pname], new_opt[pname] = opt.apply_full(
+                new_params[pname], new_opt[pname], g
+            )
+            post = model.post_constraints.get(pname)
+            if post is not None:
+                from skge_tpu.optim import POST_CONSTRAINTS
+
+                new_params[pname] = POST_CONSTRAINTS[post](new_params[pname])
+        new_state = TrainState(new_params, new_opt, state.key, state.step + 1)
+        return new_state, StepMetrics(
+            loss=loss, nviolations=jnp.zeros((), loss.dtype)
+        )
+
+    def step(state: TrainState, batch, mask):
+        key, _ = jax.random.split(state.key)  # keep key-stream parity
+        state = state._replace(key=key)
+        smapped = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(state_spec, P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=(state_spec, metrics_spec),
+            check_vma=False,
+        )
+        return smapped(state, batch, mask)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def shard_state_shardmap(
     state: TrainState, model: KGEModel, mesh: Mesh
 ) -> TrainState:

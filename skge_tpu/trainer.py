@@ -46,11 +46,15 @@ class TrainConfig:
     learning_rate: float = DEF_LEARNING_RATE
     margin: float = DEF_MARGIN
     pairwise: bool = True
-    # 'margin' (default: the pairwise/pointwise pair above) or 'selfadv'
-    # (Sun et al. 2019 self-adversarial loss; needs a pool sampler and
-    # overrides `pairwise`). `adv_alpha` is its softmax temperature.
+    # 'margin' (default: the pairwise/pointwise pair above), 'selfadv'
+    # (Sun et al. 2019 self-adversarial loss; needs a pool sampler) or
+    # 'ce' (full 1-vs-all cross entropy; needs NO sampler). Both override
+    # `pairwise`. `adv_alpha` is selfadv's softmax temperature;
+    # `label_smoothing`/`ce_directions` parameterize 'ce'.
     loss: str = "margin"
     adv_alpha: float = 1.0
+    label_smoothing: float = 0.0
+    ce_directions: tuple = ("o", "s")
     optimizer: str = "adagrad"
     aggregate: str = "unique"
     seed: int = 0
@@ -104,7 +108,7 @@ class Trainer:
     # -- construction of the jitted epoch --
     def _build(self, n_triples: int):
         cfg = self.config
-        if cfg.loss not in ("margin", "selfadv"):
+        if cfg.loss not in ("margin", "selfadv", "ce"):
             raise ValueError(f"unknown loss {cfg.loss!r}")
         if self.mesh is not None:
             if cfg.loss == "selfadv":
@@ -114,7 +118,14 @@ class Trainer:
                 )
             self._epoch_fn = self._build_mesh_epoch(n_triples)
             return
-        if cfg.loss == "selfadv":
+        if cfg.loss == "ce":
+            from skge_tpu.training import make_ce_step
+
+            step = make_ce_step(
+                self.model, self.opt, tuple(cfg.ce_directions),
+                cfg.label_smoothing,
+            )
+        elif cfg.loss == "selfadv":
             from skge_tpu.training import make_selfadv_step
 
             step = make_selfadv_step(
@@ -144,7 +155,14 @@ class Trainer:
         from skge_tpu.parallel.shardmap_step import make_shardmap_pairwise_step
 
         cfg = self.config
-        if cfg.pairwise:
+        if cfg.loss == "ce":
+            from skge_tpu.parallel.shardmap_step import make_shardmap_ce_step
+
+            step = make_shardmap_ce_step(
+                self.model, self.opt, self.mesh,
+                tuple(cfg.ce_directions), cfg.label_smoothing,
+            )
+        elif cfg.pairwise:
             step = make_shardmap_pairwise_step(
                 self.model, self.opt, self.sampler, cfg.margin, self.mesh
             )
@@ -170,7 +188,7 @@ class Trainer:
                 self.model, self.opt, jax.random.PRNGKey(self.config.seed)
             )
         if self.mesh is not None:
-            if self.config.pairwise:
+            if self.config.pairwise or self.config.loss == "ce":
                 from skge_tpu.parallel.shardmap_step import shard_state_shardmap
 
                 state = shard_state_shardmap(state, self.model, self.mesh)

@@ -639,6 +639,65 @@ def selfadv_grads_shared(
     return loss, occ, g_dense
 
 
+def ce_grads_all(
+    model: KGEModel,
+    params: Params,
+    pos: jnp.ndarray,        # (B, 3) positives, (s, o, p) columns
+    mask: jnp.ndarray,       # (B,) batch validity
+    directions: Tuple[str, ...] = ("o", "s"),
+    label_smoothing: float = 0.0,
+):
+    """Full cross-entropy (1-vs-all) loss + FULL-TABLE gradients.
+
+    No reference counterpart (build-scope): the training scheme of the
+    ConvE / ComplEx-N3 era. Each positive is scored against EVERY entity
+    in the corrupted role — one (B, d) x (d, n_e) MXU matmul per
+    direction via the model's `score_all_o`/`score_all_s` eval kernels —
+    and the loss is the softmax cross entropy with the true entity as
+    the label:
+
+        L = mean_valid [ logZ(s,p) - f(s,p,o) ]        (direction 'o')
+          + mean_valid [ logZ(o,p) - f(s,p,o) ]        (direction 's')
+
+    With `label_smoothing` = ls the target distribution is
+    (1-ls)*onehot + ls/n_e (ConvE's convention).
+
+    Unlike the margin/pointwise paths there is no occurrence scatter: the
+    partition function touches every entity row, so the gradient of E is
+    inherently dense and this function returns the plain full-table
+    autodiff gradient pytree (relation/dense tables included — their
+    untouched rows carry exact zeros, which makes the dense optimizer
+    apply a no-op there). Normalization is the mean over valid positives,
+    per direction. Exactness is pinned against an independent oracle in
+    tests/test_ce.py.
+    """
+    s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
+    n_e = model.n_entities
+    n_valid = jnp.maximum(jnp.sum(mask), 1.0)
+    barange = jnp.arange(pos.shape[0])
+
+    def loss_fn(params):
+        total = 0.0
+        for d in directions:
+            if d == "o":
+                logits = model.score_all_o(params, s, p)
+                labels = o
+            elif d == "s":
+                logits = model.score_all_s(params, o, p)
+                labels = s
+            else:
+                raise ValueError(f"direction {d!r} (want 'o'/'s')")
+            logp = jax.nn.log_softmax(logits, axis=1)
+            nll = -logp[barange, labels]
+            if label_smoothing:
+                nll = (1.0 - label_smoothing) * nll \
+                    - label_smoothing * jnp.mean(logp, axis=1)
+            total = total + jnp.sum(nll * mask)
+        return total / n_valid
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
 def pointwise_grads_shared_bilinear(
     model: KGEModel,
     params: Params,
@@ -995,6 +1054,52 @@ def make_selfadv_step(
             model, opt, state.params, state.opt_state, occ, g_dense,
             aggregate, premasked=True,
         )
+        new_state = TrainState(params, opt_state, key, state.step + 1)
+        return new_state, StepMetrics(
+            loss=loss, nviolations=jnp.zeros((), loss.dtype)
+        )
+
+    return step
+
+
+def make_ce_step(
+    model: KGEModel,
+    opt: Optimizer,
+    directions: Tuple[str, ...] = ("o", "s"),
+    label_smoothing: float = 0.0,
+):
+    """One full-cross-entropy (1-vs-all) step: (state, batch, mask) -> ...
+
+    No sampler: the "negatives" are all n_entities candidates, scored by
+    the same MXU all-entity kernels evaluation uses. The optimizer runs
+    the dense full-table path — correct because CE's entity gradient is
+    dense (every row appears in the partition function) and a zero
+    gradient row is an exact AdaGrad/SGD no-op. `rparam` regularization
+    and post-constraints (TransE's normless1) consequently apply to the
+    WHOLE table each step, which matches "every row touched" under the
+    reference's touched-rows-only convention. `nviolations` is 0 (smooth
+    loss — monitor `loss`).
+    """
+
+    def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
+        key, _ = jax.random.split(state.key)  # keep the key stream moving
+        loss, grads = ce_grads_all(
+            model, state.params, batch, mask, directions, label_smoothing
+        )
+        reg = model.regularization
+        params = dict(state.params)
+        opt_state = dict(state.opt_state)
+        for pname, g in grads.items():
+            if reg != 0.0 and pname in model.reg_row_params:
+                g = g + reg * params[pname]
+            params[pname], opt_state[pname] = opt.apply_full(
+                params[pname], opt_state[pname], g
+            )
+            post = model.post_constraints.get(pname)
+            if post is not None:
+                from skge_tpu.optim import POST_CONSTRAINTS
+
+                params[pname] = POST_CONSTRAINTS[post](params[pname])
         new_state = TrainState(params, opt_state, key, state.step + 1)
         return new_state, StepMetrics(
             loss=loss, nviolations=jnp.zeros((), loss.dtype)
