@@ -16,6 +16,11 @@ import argparse
 import os
 import sys
 
+# self-sufficient import path: the repo is not necessarily pip-installed in
+# the interpreter this subprocess runs under (pytest's rootdir trick does not
+# propagate through subprocess.run)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
