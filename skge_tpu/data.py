@@ -300,6 +300,36 @@ def latent_kg(
     )
 
 
+def add_reciprocal_relations(ds: Dataset) -> Dataset:
+    """Reciprocal-relation augmentation (the ConvE / ComplEx-N3 protocol;
+    no reference counterpart — build-scope).
+
+    Returns a new Dataset with n_relations DOUBLED: relation p's inverse is
+    p + n_relations, and the TRAIN set additionally contains (o, s, p_inv)
+    for every train triple (s, o, p). Directional models (ConvE) then learn
+    subject-direction queries as object-direction queries under the inverse
+    id and train with object-side corruption only; valid/test are left
+    untouched (their relation ids stay < the original n_relations — the
+    evaluator reaches inverses through the model's `score_all_s`), so
+    filtered-ranking metrics remain directly comparable to the
+    un-augmented protocol.
+    """
+    t = ds.train
+    inv = np.stack([t[:, 1], t[:, 0], t[:, 2] + ds.n_relations], axis=1)
+    relations = None
+    if ds.relations is not None:
+        relations = list(ds.relations) + [f"{r}_inv" for r in ds.relations]
+    return Dataset(
+        train=np.concatenate([t, inv.astype(t.dtype)]),
+        valid=ds.valid,
+        test=ds.test,
+        n_entities=ds.n_entities,
+        n_relations=2 * ds.n_relations,
+        entities=ds.entities,
+        relations=relations,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Edge partitioning (SURVEY.md §5 "long-context equivalent"): assign entities
 # to P parts and triples to their subject's part so most row lookups in a

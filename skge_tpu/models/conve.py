@@ -1,0 +1,181 @@
+"""ConvE — 2D-convolutional scoring (Dettmers et al., AAAI 2018).
+
+Beyond the reference's model roster (SURVEY.md §2.1): the standard
+parameter-efficient neural scorer, and the model whose training scheme
+(reciprocal relations + 1-vs-all cross entropy with label smoothing) the
+`make_ce_step` loss implements.
+
+    hidden(s, p) = ReLU( W · vec( ReLU( Conv2D([ē_s ; r̄_p]) ) ) )
+    score(s, o, p) = hidden(s, p) · e_o + b_o
+
+where ē_s, r̄_p are the d-dim embeddings reshaped to (eh, ew) grids and
+stacked into one (2·eh, ew) image. The original also applies batch-norm
+and three dropouts — training-scheme choices (like TuckER's), not part of
+the scoring function, and omitted here (AdaGrad + optional `rparam` L2
+take their place).
+
+TPU design:
+- The convolution lowers to MXU im2col matmuls under XLA; the FC
+  projection and both candidate sweeps are single (B, ·) x (·, N) MXU
+  matmuls. All shapes are static.
+- The per-entity output bias is FOLDED into the entity table as an extra
+  trailing column: `E` is (n_e, d+1), subjects read columns [:d],
+  objects contribute e_o = E[o, :d] and b_o = E[o, d] via one gather.
+  One row table means the generic gather/scatter/AdaGrad/occurrence
+  machinery (one fused scatter, one accumulator row per entity) applies
+  unchanged — no second bias table to plumb through samplers, shards, or
+  checkpoints. The candidate sweep appends a constant 1 to the query so
+  score = [hidden, 1] · E^T in ONE matmul.
+- ConvE is inherently DIRECTIONAL: hidden() sees only (s, p), so scoring
+  all candidate SUBJECTS would need one convolution per candidate. The
+  standard fix is reciprocal relations (`reciprocal=True`, the paper's
+  protocol): train on `data.add_reciprocal_relations(ds)` (which doubles
+  n_relations) with object-side corruption only — sampler `modes=(1,)`
+  or `make_ce_step(directions=('o',))` — and subject-direction queries
+  route through the inverse relation id: score_all_s(o, p) =
+  score_all_o(o, inv(p)). Filtered-ranking evaluation then works
+  unmodified in both directions.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from skge_tpu.models.base import INITIALIZERS, KGEModel, Params
+
+
+def _auto_grid(d: int) -> int:
+    """Largest divisor of d that is <= sqrt(d) (near-square reshape)."""
+    best = 1
+    for h in range(1, int(math.isqrt(d)) + 1):
+        if d % h == 0:
+            best = h
+    return best
+
+
+@dataclass(frozen=True)
+class ConvE(KGEModel):
+    """`ncomp` is the embedding dim d (must factor as eh * ew); entity rows
+    are d+1 wide (trailing column = the per-entity output bias)."""
+
+    nfilters: int = 32
+    ksize: int = 3
+    eh: int = 0          # grid height; 0 = auto (largest divisor <= sqrt d)
+    reciprocal: bool = True
+    rparam: float = 0.0
+
+    name = "conve"
+    dense_param_names = ("F", "bF", "W", "bW")
+    reg_row_params = ("E", "R")
+
+    def __post_init__(self):
+        h, w = self.grid
+        if h * w != self.ncomp:
+            raise ValueError(
+                f"ncomp={self.ncomp} does not factor as eh*ew with eh={h}"
+            )
+        if 2 * h < self.ksize or w < self.ksize:
+            raise ValueError(
+                f"conv kernel {self.ksize}x{self.ksize} larger than the "
+                f"stacked {2 * h}x{w} image — pick a smaller ksize or "
+                f"different eh"
+            )
+        if self.reciprocal and self.n_relations % 2 != 0:
+            raise ValueError(
+                "reciprocal=True expects n_relations to be the DOUBLED "
+                "count (use data.add_reciprocal_relations)"
+            )
+
+    @property
+    def grid(self):
+        h = self.eh or _auto_grid(self.ncomp)
+        return h, self.ncomp // h
+
+    @property
+    def conv_out(self):
+        h, w = self.grid
+        return 2 * h - self.ksize + 1, w - self.ksize + 1
+
+    def slot_spec(self):
+        return (("es", "E", "s"), ("eo", "E", "o"), ("rp", "R", "p"))
+
+    def init_params(self, key: jax.Array) -> Params:
+        init = INITIALIZERS[self.init]
+        ke, kr, kf, kw = jax.random.split(key, 4)
+        d, c, k = self.ncomp, self.nfilters, self.ksize
+        oh, ow = self.conv_out
+        emb = init(ke, (self.n_entities, d), self.jdtype)
+        return {
+            # trailing zero column = output bias b_o
+            "E": jnp.concatenate(
+                [emb, jnp.zeros((self.n_entities, 1), self.jdtype)], axis=1
+            ),
+            "R": init(kr, (self.n_relations, d), self.jdtype),
+            "F": init(kf, (c, k * k), self.jdtype).reshape(c, 1, k, k),
+            "bF": jnp.zeros((c,), self.jdtype),
+            "W": init(kw, (c * oh * ow, d), self.jdtype),
+            "bW": jnp.zeros((d,), self.jdtype),
+        }
+
+    def _hidden(self, es_emb: jnp.ndarray, rp: jnp.ndarray, dense: Params):
+        """(B, d) ConvE feature: conv over the stacked (2eh, ew) image,
+        ReLU, flatten, FC, ReLU."""
+        b = es_emb.shape[0]
+        h, w = self.grid
+        img = jnp.concatenate(
+            [es_emb.reshape(b, 1, h, w), rp.reshape(b, 1, h, w)], axis=2
+        )
+        out = jax.lax.conv_general_dilated(
+            img, dense["F"].astype(img.dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.promote_types(img.dtype, jnp.float32),
+        ).astype(img.dtype)
+        out = jnp.maximum(out + dense["bF"][None, :, None, None], 0.0)
+        flat = out.reshape(b, -1)
+        return jnp.maximum(self.mxu(flat, dense["W"]) + dense["bW"], 0.0)
+
+    def score_from_rows(self, rows, dense):
+        d = self.ncomp
+        hidden = self._hidden(rows["es"][:, :d], rows["rp"], dense)
+        return jnp.sum(hidden * rows["eo"][:, :d], axis=-1) + rows["eo"][:, d]
+
+    def _query1(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Append the constant-1 bias lane: score = q · [e_o | b_o]."""
+        one = jnp.ones((hidden.shape[0], 1), hidden.dtype)
+        return jnp.concatenate([hidden, one], axis=-1)
+
+    def score_pool(self, rows, pool_rows, dense, mode):
+        if mode != 1:
+            raise ValueError(
+                "ConvE scores candidate OBJECTS only (hidden() is a "
+                "function of (s, p)); train with reciprocal relations and "
+                "object-side corruption (sampler modes=(1,) or "
+                "make_ce_step(directions=('o',)))"
+            )
+        d = self.ncomp
+        hidden = self._hidden(rows["es"][:, :d], rows["rp"], dense)
+        return self.mxu(self._query1(hidden), pool_rows.T)
+
+    def _inv(self, p: jnp.ndarray) -> jnp.ndarray:
+        half = self.n_relations // 2
+        return jnp.where(p < half, p + half, p - half)
+
+    def score_all_o(self, params: Params, s, p):
+        d = self.ncomp
+        hidden = self._hidden(
+            params["E"][s, :d], params["R"][p], self.dense_params(params)
+        )
+        return self.mxu(self._query1(hidden), params["E"].T)
+
+    def score_all_s(self, params: Params, o, p):
+        if not self.reciprocal:
+            raise NotImplementedError(
+                "subject-direction sweeps need reciprocal=True (one conv "
+                "per candidate otherwise); see the module docstring"
+            )
+        return self.score_all_o(params, o, self._inv(p))

@@ -1,0 +1,214 @@
+"""ConvE (beyond-reference family): independent NumPy conv oracle,
+reciprocal-relation routing, eval-sweep parity, shared-pool exactness
+(object-side corruption), reciprocal data augmentation, and end-to-end
+CE training — the round-2 model-contract surface plus the directional
+quirks unique to ConvE."""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from skge_tpu import AdaGrad, ConvE, init_state, training  # noqa: E402
+from skge_tpu.data import add_reciprocal_relations, latent_kg  # noqa: E402
+from test_shared import expanded_pairs  # noqa: E402
+
+N_E, N_R2, D, B, K = 29, 8, 6, 24, 9  # N_R2 = doubled (reciprocal) count
+C = 4  # filters
+
+
+def build(seed=0, **kw):
+    model = ConvE(N_E, N_R2, D, nfilters=C, dtype="float64", **kw)
+    params = dict(model.init_params(jax.random.PRNGKey(seed)))
+    # randomize the zero-initialized biases (incl. the entity bias column)
+    # so the oracle exercises every term
+    rng = np.random.default_rng(seed + 50)
+    E = np.asarray(params["E"]).copy()
+    E[:, -1] = rng.normal(size=N_E) * 0.3
+    params["E"] = jnp.asarray(E)
+    params["bF"] = jnp.asarray(rng.normal(size=C) * 0.1)
+    params["bW"] = jnp.asarray(rng.normal(size=D) * 0.1)
+    return model, params
+
+
+def batch(seed=1, b=B, n_r=N_R2):
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [rng.integers(0, N_E, b), rng.integers(0, N_E, b),
+         rng.integers(0, n_r, b)], axis=1
+    ).astype(np.int32)
+
+
+def numpy_hidden(model, params, s, p):
+    """Direct NumPy reimplementation of the ConvE feature pipeline."""
+    E, R = np.asarray(params["E"]), np.asarray(params["R"])
+    F, bF = np.asarray(params["F"]), np.asarray(params["bF"])
+    W, bW = np.asarray(params["W"]), np.asarray(params["bW"])
+    d, k = model.ncomp, model.ksize
+    h, w = model.grid
+    b = len(s)
+    img = np.concatenate(
+        [E[s, :d].reshape(b, h, w), R[p].reshape(b, h, w)], axis=1
+    )  # (B, 2h, w)
+    oh, ow = model.conv_out
+    c = F.shape[0]
+    out = np.zeros((b, c, oh, ow))
+    fm = F.reshape(c, -1)  # (C, k*k)
+    for i in range(oh):
+        for j in range(ow):
+            patch = img[:, i:i + k, j:j + k].reshape(b, -1)
+            out[:, :, i, j] = patch @ fm.T
+    out = np.maximum(out + bF[None, :, None, None], 0.0)
+    return np.maximum(out.reshape(b, -1) @ W + bW, 0.0)
+
+
+def numpy_scores(model, params, s, o, p):
+    E = np.asarray(params["E"])
+    d = model.ncomp
+    hid = numpy_hidden(model, params, s, p)
+    return np.sum(hid * E[o, :d], axis=-1) + E[o, d]
+
+
+def test_scores_match_numpy_oracle():
+    model, params = build()
+    t = batch()
+    got = np.asarray(model.score_triples(params, jnp.asarray(t)))
+    want = numpy_scores(model, params, t[:, 0], t[:, 1], t[:, 2])
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_score_all_o_matches_per_triple():
+    model, params = build(seed=2)
+    t = batch(seed=2)
+    s, p = t[:, 0], t[:, 2]
+    ao = np.asarray(model.score_all_o(params, jnp.asarray(s), jnp.asarray(p)))
+    for e in range(N_E):
+        np.testing.assert_allclose(
+            ao[:, e], numpy_scores(model, params, s, np.full(B, e), p),
+            rtol=1e-9, atol=1e-11,
+        )
+
+
+def test_score_all_s_routes_through_inverse():
+    """Reciprocal convention: subject-candidate scores ARE object-candidate
+    scores under the inverse relation id (p + n_r/2, involutive)."""
+    model, params = build(seed=3)
+    t = batch(seed=3, n_r=N_R2 // 2)  # original (forward) ids only
+    o, p = t[:, 1], t[:, 2]
+    as_ = np.asarray(model.score_all_s(params, jnp.asarray(o), jnp.asarray(p)))
+    for e in range(N_E):
+        np.testing.assert_allclose(
+            as_[:, e],
+            numpy_scores(model, params, o, np.full(B, e), p + N_R2 // 2),
+            rtol=1e-9, atol=1e-11,
+        )
+    # involution: inv(inv(p)) == p
+    pj = jnp.asarray(np.arange(N_R2, dtype=np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(model._inv(model._inv(pj))), np.arange(N_R2)
+    )
+
+
+def test_mode0_pool_rejected():
+    model, params = build()
+    with pytest.raises(ValueError, match="OBJECT"):
+        rows = model.gather_rows(
+            params, jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
+            jnp.zeros(2, jnp.int32),
+        )
+        model.score_pool(
+            rows, params["E"][:3], model.dense_params(params), mode=0
+        )
+
+
+def test_shared_pool_equals_expanded_generic():
+    model, params = build(seed=5)
+    opt = AdaGrad(lr=0.1)
+    pos = batch(seed=6)
+    rng = np.random.default_rng(7)
+    pool = rng.integers(0, N_E, K)
+    margin = 0.7
+    mask = jnp.ones(B, jnp.float64)
+
+    sl, sn, socc, sdense = training.pairwise_grads_shared(
+        model, params, jnp.asarray(pos), jnp.asarray(pool), mask, margin,
+        modes=(1,),
+    )
+    pxs, nxs = expanded_pairs(pos, pool, (1,))
+    gl, gn, gocc, gdense = training.pairwise_grads(
+        model, params, jnp.asarray(np.asarray(pxs, np.int32)),
+        jnp.asarray(np.asarray(nxs, np.int32)),
+        jnp.ones(len(pxs), jnp.float64), margin,
+    )
+    np.testing.assert_allclose(float(sl), float(gl), rtol=1e-12)
+    assert int(sn) == int(gn)
+    a = training.apply_gradients(
+        model, opt, params, opt.init(params), socc, sdense, "dense",
+        premasked=True,
+    )
+    b = training.apply_gradients(
+        model, opt, params, opt.init(params), gocc, gdense, "dense",
+        premasked=False,
+    )
+    for kk in params:
+        np.testing.assert_allclose(
+            np.asarray(a[0][kk]), np.asarray(b[0][kk]), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_add_reciprocal_relations():
+    ds = latent_kg(n_entities=150, n_relations=3, n_train=200, n_valid=10,
+                   n_test=20, latent_dim=4, seed=0)
+    aug = add_reciprocal_relations(ds)
+    assert aug.n_relations == 6
+    assert aug.train.shape[0] == 2 * ds.train.shape[0]
+    # inverse block: (o, s, p+3) for each original (s, o, p)
+    orig, inv = aug.train[:200], aug.train[200:]
+    np.testing.assert_array_equal(orig, ds.train)
+    np.testing.assert_array_equal(inv[:, 0], ds.train[:, 1])
+    np.testing.assert_array_equal(inv[:, 1], ds.train[:, 0])
+    np.testing.assert_array_equal(inv[:, 2], ds.train[:, 2] + 3)
+    # eval sets untouched
+    np.testing.assert_array_equal(aug.valid, ds.valid)
+    np.testing.assert_array_equal(aug.test, ds.test)
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="DOUBLED"):
+        ConvE(10, 3, D)  # odd relation count under reciprocal
+    with pytest.raises(ValueError, match="factor"):
+        ConvE(10, 4, 7, eh=2)
+    with pytest.raises(ValueError, match="kernel"):
+        ConvE(10, 4, 4, eh=1, ksize=5)  # 2x4 image, 5x5 kernel
+
+
+def test_trains_with_ce_on_reciprocal_kg():
+    from skge_tpu import make_ce_step, make_epoch_fn
+    from skge_tpu.evaluation import FilteredRankingEval
+
+    ds = add_reciprocal_relations(
+        latent_kg(n_entities=300, n_relations=6, n_train=1200, n_valid=0,
+                  n_test=50, latent_dim=6, seed=1)
+    )
+    model = ConvE(ds.n_entities, ds.n_relations, 24, nfilters=8)
+    opt = AdaGrad(lr=0.3)
+    step = make_ce_step(model, opt, directions=("o",), label_smoothing=0.1)
+    epoch = jax.jit(make_epoch_fn(step, ds.train.shape[0], 8),
+                    donate_argnums=(0,))
+    state = init_state(model, opt, jax.random.PRNGKey(0))
+    xs = jnp.asarray(ds.train)
+    first = last = None
+    for e in range(25):
+        state, m = epoch(state, xs)
+        loss = float(np.asarray(m.loss).mean())
+        first = loss if first is None else first
+        last = loss
+    assert last < first * 0.8
+    r = FilteredRankingEval(model, ds.test, ds.all_triples(), batch_size=64)(
+        state.params
+    )
+    assert r.mrr > 5.0 / ds.n_entities
