@@ -40,7 +40,8 @@ def main() -> None:
     ap.add_argument(
         "--model", default="transe",
         choices=["transe", "hole", "rescal", "ermlp", "distmult", "complex",
-                 "rotate", "transh", "transr", "tucker"],
+                 "rotate", "transh", "transr", "tucker", "simple", "quate",
+                 "pairre", "conve"],
     )
     ap.add_argument("--ncomp", type=int, default=150)
     ap.add_argument("--nbatches", type=int, default=100)
@@ -104,14 +105,19 @@ def main() -> None:
         seed=0,
         clustered=False,
     )
-    model = MODELS[args.model](ds.n_entities, ds.n_relations, args.ncomp)
+    # ConvE is directional: reciprocal relation ids + object-side corruption
+    # only (models/conve.py docstring); each positive still ranks against the
+    # pool in ONE mode, so pairs_per_positive halves.
+    modes = (1,) if args.model == "conve" else (0, 1)
+    n_rel = 2 * ds.n_relations if args.model == "conve" else ds.n_relations
+    model = MODELS[args.model](ds.n_entities, n_rel, args.ncomp)
     opt = AdaGrad(lr=0.1)
     if args.sampler == "shared":
-        sampler = SharedNegativeSampler(ds.n_entities, k=args.k)
-        pairs_per_positive = 2 * args.k
+        sampler = SharedNegativeSampler(ds.n_entities, k=args.k, modes=modes)
+        pairs_per_positive = len(modes) * args.k
     else:
-        sampler = RandomModeSampler(ds.n_entities, modes=(0, 1) * args.negatives)
-        pairs_per_positive = 2 * args.negatives
+        sampler = RandomModeSampler(ds.n_entities, modes=modes * args.negatives)
+        pairs_per_positive = len(modes) * args.negatives
     step = make_pairwise_step(
         model, opt, sampler, margin=1.0, aggregate=args.aggregate
     )

@@ -10,9 +10,9 @@ Reference-compatible class surface (skge-style Model/Trainer/Sampler API):
     from skge_tpu import compat
 """
 
-from skge_tpu.models import (ERMLP, MODELS, ComplEx, DistMult, HolE,
-                             KGEModel, RESCAL, RotatE, TransE, TransH,
-                             TransR, TuckER)
+from skge_tpu.models import (ERMLP, MODELS, ComplEx, ConvE, DistMult, HolE,
+                             KGEModel, PairRE, QuatE, RESCAL, RotatE,
+                             SimplE, TransE, TransH, TransR, TuckER)
 from skge_tpu.optim import OPTIMIZERS, AdaGrad, SGD
 from skge_tpu.sampling import (
     SAMPLERS,
@@ -53,6 +53,10 @@ __all__ = [
     "TransH",
     "TransR",
     "TuckER",
+    "SimplE",
+    "QuatE",
+    "PairRE",
+    "ConvE",
     "MODELS",
     "AdaGrad",
     "SGD",

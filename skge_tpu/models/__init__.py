@@ -1,7 +1,7 @@
 """KGE model family: the reference roster TransE, RESCAL, HolE, ER-MLP
-(SURVEY.md §2.1 #6-9) plus DistMult, ComplEx, RotatE, TransH, TransR and
-TuckER (standard production baselines beyond the reference — see their
-module docstrings)."""
+(SURVEY.md §2.1 #6-9) plus DistMult, ComplEx, RotatE, TransH, TransR,
+TuckER, SimplE, QuatE and PairRE (standard production baselines beyond
+the reference — see their module docstrings)."""
 
 from skge_tpu.models.base import KGEModel, activation, nunif, normal
 from skge_tpu.models.transe import TransE
@@ -14,12 +14,16 @@ from skge_tpu.models.rotate import RotatE
 from skge_tpu.models.transh import TransH
 from skge_tpu.models.transr import TransR
 from skge_tpu.models.tucker import TuckER
+from skge_tpu.models.simple import SimplE
+from skge_tpu.models.quate import QuatE
+from skge_tpu.models.pairre import PairRE
+from skge_tpu.models.conve import ConvE
 
 MODELS = {
     m.name: m
     for m in (
         TransE, RESCAL, HolE, ERMLP, DistMult, ComplEx, RotatE,
-        TransH, TransR, TuckER,
+        TransH, TransR, TuckER, SimplE, QuatE, PairRE, ConvE,
     )
 }
 
@@ -35,6 +39,10 @@ __all__ = [
     "TransH",
     "TransR",
     "TuckER",
+    "SimplE",
+    "QuatE",
+    "PairRE",
+    "ConvE",
     "MODELS",
     "activation",
     "nunif",
