@@ -140,6 +140,22 @@ class KGEModel:
         return float(getattr(self, "rparam", 0.0))
 
     @property
+    def regularization_n3(self) -> float:
+        """Nuclear-3-norm coefficient (`n3`, Lacroix et al. 2018); 0 when
+        absent. Applied to the same touched rows as `rparam` (the
+        reference's row-regularization convention), via `n3_grad_rows`."""
+        return float(getattr(self, "n3", 0.0))
+
+    def n3_grad_rows(self, pname: str, rows: jnp.ndarray) -> jnp.ndarray:
+        """∂(Σ_j w(x)_j³)/∂x divided by 3, elementwise per row.
+
+        Default factor weight is |x| per entry → gradient x·|x|. Models
+        whose per-dimension factor is NOT a single entry override this
+        (ComplEx: the complex modulus over its [real | imag] halves —
+        Lacroix et al.'s canonical form)."""
+        return rows * jnp.abs(rows)
+
+    @property
     def sz(self) -> Tuple[int, int, int]:
         return (self.n_entities, self.n_entities, self.n_relations)
 

@@ -34,12 +34,21 @@ class ComplEx(KGEModel):
     """`ncomp` is the COMPLEX rank; real row width is 2*ncomp."""
 
     rparam: float = 0.0
+    n3: float = 0.0
 
     name = "complex"
     reg_row_params = ("E", "R")
 
     def slot_spec(self):
         return (("es", "E", "s"), ("eo", "E", "o"), ("rp", "R", "p"))
+
+    def n3_grad_rows(self, pname, rows):
+        """Canonical ComplEx N3 (Lacroix et al. 2018): the per-dimension
+        factor is the complex MODULUS m_j = sqrt(a_j² + b_j²), so
+        ∂(Σ m³)/∂(a, b) / 3 = m · (a, b) over the [real | imag] halves."""
+        a, b = self._split(rows)
+        m = jnp.sqrt(a * a + b * b)
+        return jnp.concatenate([m * a, m * b], axis=-1)
 
     def init_params(self, key: jax.Array) -> Params:
         init = INITIALIZERS[self.init]

@@ -23,6 +23,7 @@ from skge_tpu.models.base import INITIALIZERS, KGEModel, Params
 @dataclass(frozen=True)
 class DistMult(KGEModel):
     rparam: float = 0.0
+    n3: float = 0.0
 
     name = "distmult"
     reg_row_params = ("E", "R")

@@ -44,6 +44,7 @@ from skge_tpu.models.base import INITIALIZERS, KGEModel, Params, acc_dtype
 class TuckER(KGEModel):
     rcomp: int = 0  # relation dim; 0 = same as ncomp
     rparam: float = 0.0
+    n3: float = 0.0
 
     name = "tucker"
     dense_param_names = ("W",)

@@ -17,7 +17,9 @@ tests/oracle/oracle_numpy.py):
 - the pairwise margin test applies the model's `pairwise_af` transform
   (sigmoid for HolE) BEFORE comparing (skge/hole.py ~70);
 - gradients are AVERAGED over duplicate row indices (skge/util.py ~30);
-- `rparam * row` L2 regularization added per unique touched row;
+- `rparam * row` L2 regularization added per unique touched row; models
+  with an `n3` hyperparam additionally get the nuclear-3-norm gradient
+  (Lacroix et al. 2018) on the same touched rows via `model.n3_grad_rows`;
 - dense params (ER-MLP W/C) receive the masked-mean batch gradient.
 
 Everything is static-shape: batches are padded and masked, so whole epochs
@@ -792,6 +794,7 @@ def apply_gradients(
     params = dict(params)
     opt_state = dict(opt_state)
     reg = model.regularization
+    reg3 = model.regularization_n3
     backend = "xla"
     if aggregate == "dense_pallas":
         # single-device fast path: the scatter-add runs in the VMEM-resident
@@ -807,6 +810,11 @@ def apply_gradients(
     def apply_dense_grads(pname, dg: DenseGrads):
         if reg != 0.0 and pname in model.reg_row_params:
             dg = dg._replace(grads=dg.grads + reg * params[pname])
+        if reg3 != 0.0 and pname in model.reg_row_params:
+            dg = dg._replace(
+                grads=dg.grads
+                + (3.0 * reg3) * model.n3_grad_rows(pname, params[pname])
+            )
         params[pname], opt_state[pname] = opt.apply_dense_masked(
             params[pname], opt_state[pname], dg,
             model.post_constraints.get(pname),
@@ -839,6 +847,11 @@ def apply_gradients(
             ug = segment_mean_unique(idx, g, m, n_rows, premasked)
             if reg != 0.0 and pname in model.reg_row_params:
                 ug = ug._replace(grads=ug.grads + reg * params[pname][ug.uidx])
+            if reg3 != 0.0 and pname in model.reg_row_params:
+                ug = ug._replace(
+                    grads=ug.grads + (3.0 * reg3)
+                    * model.n3_grad_rows(pname, params[pname][ug.uidx])
+                )
             params[pname], opt_state[pname] = opt.apply_unique(
                 params[pname], opt_state[pname], ug,
                 model.post_constraints.get(pname),
@@ -1087,11 +1100,14 @@ def make_ce_step(
             model, state.params, batch, mask, directions, label_smoothing
         )
         reg = model.regularization
+        reg3 = model.regularization_n3
         params = dict(state.params)
         opt_state = dict(state.opt_state)
         for pname, g in grads.items():
             if reg != 0.0 and pname in model.reg_row_params:
                 g = g + reg * params[pname]
+            if reg3 != 0.0 and pname in model.reg_row_params:
+                g = g + (3.0 * reg3) * model.n3_grad_rows(pname, params[pname])
             params[pname], opt_state[pname] = opt.apply_full(
                 params[pname], opt_state[pname], g
             )
