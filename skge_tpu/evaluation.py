@@ -47,6 +47,7 @@ class RankingResult:
     hits_raw: Dict[int, float]
     ranks: np.ndarray       # (2, n_test) filtered ranks [object-dir, subject-dir]
     ranks_raw: np.ndarray
+    test: Optional[np.ndarray] = None  # (n_test, 3) triples the ranks belong to
 
     def summary(self) -> Dict[str, float]:
         out = {
@@ -59,6 +60,36 @@ class RankingResult:
             out[f"hits@{k}"] = v
         for k, v in self.hits_raw.items():
             out[f"hits@{k}_raw"] = v
+        return out
+
+    def _metrics(self, ranks: np.ndarray, hits_at) -> Dict[str, float]:
+        mrr, mr, hits = ranking_scores(ranks, hits_at)
+        out = {"mrr": mrr, "mean_rank": mr, "n": int(ranks.size)}
+        out.update({f"hits@{k}": v for k, v in hits.items()})
+        return out
+
+    def by_direction(self, hits_at=(1, 3, 10)) -> Dict[str, Dict[str, float]]:
+        """Filtered metrics split by prediction direction — 'object' (tail
+        prediction, ranks[0]) vs 'subject' (head prediction, ranks[1]); the
+        standard head/tail breakdown of the KGE literature (N-to-1
+        relations make the two directions very unequal)."""
+        return {
+            "object": self._metrics(self.ranks[0], hits_at),
+            "subject": self._metrics(self.ranks[1], hits_at),
+        }
+
+    def by_relation(self, hits_at=(1, 3, 10)) -> Dict[int, Dict[str, float]]:
+        """Filtered metrics per relation id (both directions pooled).
+        Requires the evaluator to have attached `test` (FilteredRankingEval
+        does)."""
+        if self.test is None:
+            raise ValueError("per-relation breakdown needs the test triples "
+                             "(RankingResult.test is None)")
+        out = {}
+        rel = self.test[:, 2]
+        for p in np.unique(rel):
+            sel = rel == p
+            out[int(p)] = self._metrics(self.ranks[:, sel], hits_at)
         return out
 
 
@@ -254,6 +285,7 @@ class FilteredRankingEval:
             hits_raw=hits_r,
             ranks=all_filt,
             ranks_raw=all_raw,
+            test=self.test,
         )
 
 

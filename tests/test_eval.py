@@ -151,3 +151,33 @@ def test_mean_tiebreak_on_collapsed_scores():
         model, ds.test, known, batch_size=8, ties="optimistic"
     )(params)
     assert opt.mrr == 1.0  # the artifact, explicitly opted into
+
+
+def test_breakdowns_partition_the_pooled_metrics():
+    """by_direction / by_relation slices must reassemble exactly into the
+    pooled metrics (weighted by count) and partition the rank arrays."""
+    model, params = build(TransE, l1=False)
+    ds = synthetic_kg(N_E, N_R, n_train=150, n_test=40, seed=5)
+    ev = FilteredRankingEval(model, ds.test, ds.all_triples(), batch_size=16)
+    res = ev(params)
+
+    by_dir = res.by_direction()
+    assert by_dir["object"]["n"] == by_dir["subject"]["n"] == len(ds.test)
+    np.testing.assert_allclose(
+        by_dir["object"]["mrr"],
+        float(np.mean(1.0 / res.ranks[0])), rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        0.5 * (by_dir["object"]["mrr"] + by_dir["subject"]["mrr"]),
+        res.mrr, rtol=1e-12,
+    )
+
+    by_rel = res.by_relation()
+    assert sum(m["n"] for m in by_rel.values()) == 2 * len(ds.test)
+    pooled = sum(m["mrr"] * m["n"] for m in by_rel.values()) / (2 * len(ds.test))
+    np.testing.assert_allclose(pooled, res.mrr, rtol=1e-12)
+    for p, m in by_rel.items():
+        sel = ds.test[:, 2] == p
+        np.testing.assert_allclose(
+            m["mean_rank"], float(np.mean(res.ranks[:, sel])), rtol=1e-12
+        )
