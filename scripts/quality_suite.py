@@ -62,7 +62,10 @@ def main() -> None:
     )
     from skge_tpu.data import latent_kg
     from skge_tpu.evaluation import FilteredRankingEval
-    from skge_tpu.models import ComplEx, DistMult, ERMLP, HolE, RESCAL, RotatE, TransE
+    from skge_tpu.models import (
+        ComplEx, DistMult, ERMLP, HolE, PairRE, QuatE, RESCAL, RotatE,
+        SimplE, TransE, TransH, TransR, TuckER,
+    )
 
     print("building latent KG...", flush=True)
     t0 = time.perf_counter()
@@ -94,6 +97,15 @@ def main() -> None:
         ("DistMult", DistMult(ds.n_entities, ds.n_relations, 150), 0.5, 0.3, 2048),
         ("ComplEx", ComplEx(ds.n_entities, ds.n_relations, 75), 0.5, 0.3, 2048),
         ("RotatE", RotatE(ds.n_entities, ds.n_relations, 75), 0.5, 0.3, 2048),
+        # round-2 families: TransH/TransR/PairRE are translational refinements
+        # (should track TransE on this KG); TuckER rides RESCAL's config;
+        # SimplE/QuatE are multiplicative (DistMult-family caveats apply)
+        ("TransH", TransH(ds.n_entities, ds.n_relations, 150), 1.0, 0.1, None),
+        ("TransR", TransR(ds.n_entities, ds.n_relations, 64), 1.0, 0.1, None),
+        ("PairRE", PairRE(ds.n_entities, ds.n_relations, 150), 1.0, 0.1, None),
+        ("TuckER", TuckER(ds.n_entities, ds.n_relations, 100, rparam=0.01), 1.0, 0.1, None),
+        ("SimplE", SimplE(ds.n_entities, ds.n_relations, 75), 0.5, 0.3, 2048),
+        ("QuatE", QuatE(ds.n_entities, ds.n_relations, 38), 0.5, 0.3, 2048),
     ]
 
     if args.sampler == "random-mode":

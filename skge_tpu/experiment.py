@@ -42,13 +42,14 @@ from skge_tpu.utils.checkpoint import save_checkpoint
 log = logging.getLogger("skge_tpu.experiment")
 
 
-def build_sampler(name: str, ds: Dataset, ntries: int = 100, k: int = 1024):
+def build_sampler(name: str, ds: Dataset, ntries: int = 100, k: int = 1024,
+                  modes: tuple = (0, 1)):
     import jax.numpy as jnp
 
     if name == "shared":
-        return sampling.SharedNegativeSampler(ds.n_entities, k=k)
+        return sampling.SharedNegativeSampler(ds.n_entities, k=k, modes=modes)
     if name == "random-mode":
-        return sampling.RandomModeSampler(ds.n_entities)
+        return sampling.RandomModeSampler(ds.n_entities, modes=modes)
     if name == "lcwa":
         return sampling.LCWASampler(
             ds.n_entities,
@@ -103,6 +104,21 @@ class Experiment:
                 **kw,
             )
             log.info("using %s synthetic KG (no --fin given)", args.synthetic_kind)
+        if args.model == "conve":
+            # ConvE is directional (models/conve.py): reciprocal ids +
+            # object-side-only corruption / CE direction
+            from skge_tpu.data import add_reciprocal_relations
+
+            self.ds = add_reciprocal_relations(self.ds)
+            log.info(
+                "conve: reciprocal-relation augmentation (n_relations "
+                "doubled to %d, train doubled to %d)",
+                self.ds.n_relations, len(self.ds.train),
+            )
+            if args.trainer != "single":
+                raise SystemExit(
+                    "--model conve supports --trainer single only"
+                )
         model_cls = MODELS[args.model]
         kw = {}
         if args.model in ("hole", "rescal", "distmult", "complex", "tucker"):
@@ -126,12 +142,16 @@ class Experiment:
             loss="ce" if args.ce else ("selfadv" if args.selfadv else "margin"),
             adv_alpha=args.adv_alpha,
             label_smoothing=args.label_smoothing,
+            ce_directions=("o",) if args.model == "conve" else ("o", "s"),
             aggregate=args.aggregate,
             seed=args.seed,
             metrics_jsonl=args.metrics,
         )
         if args.trainer == "single":
-            sampler = build_sampler(args.sampler, self.ds, args.ntries, args.k)
+            sampler = build_sampler(
+                args.sampler, self.ds, args.ntries, args.k,
+                modes=(1,) if args.model == "conve" else (0, 1),
+            )
             self.trainer = Trainer(
                 self.model, sampler, cfg, post_epoch=[self._callback]
             )
