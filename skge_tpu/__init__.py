@@ -13,7 +13,7 @@ Reference-compatible class surface (skge-style Model/Trainer/Sampler API):
 from skge_tpu.models import (ERMLP, MODELS, ComplEx, ConvE, DistMult, HolE,
                              KGEModel, PairRE, QuatE, RESCAL, RotatE,
                              SimplE, TransE, TransH, TransR, TuckER)
-from skge_tpu.optim import OPTIMIZERS, AdaGrad, SGD
+from skge_tpu.optim import OPTIMIZERS, AdaGrad, Adam, SGD
 from skge_tpu.sampling import (
     SAMPLERS,
     BernoulliSampler,
@@ -59,6 +59,7 @@ __all__ = [
     "ConvE",
     "MODELS",
     "AdaGrad",
+    "Adam",
     "SGD",
     "OPTIMIZERS",
     "OutOfCoreTrainer",

@@ -137,6 +137,7 @@ class Experiment:
             max_epochs=args.me,
             nbatches=args.nb,
             learning_rate=args.lr,
+            optimizer=args.optimizer,
             margin=args.margin,
             pairwise=not args.no_pairwise,
             loss="ce" if args.ce else ("selfadv" if args.selfadv else "margin"),
@@ -381,6 +382,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--me", type=int, default=500, help="max epochs")
     p.add_argument("--nb", type=int, default=100, help="number of batches")
     p.add_argument("--lr", type=float, default=0.1, help="learning rate")
+    p.add_argument("--optimizer", default="adagrad",
+                   choices=["adagrad", "sgd", "adam"])
     p.add_argument("--ncomp", type=int, default=150, help="embedding dim")
     p.add_argument("--margin", type=float, default=0.2, help="pairwise margin")
     p.add_argument("--sampler", default="random-mode",

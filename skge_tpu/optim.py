@@ -146,4 +146,44 @@ class SGD(Optimizer):
         return rows - self.lr * g, {}
 
 
-OPTIMIZERS = {"adagrad": AdaGrad, "sgd": SGD}
+@dataclass(frozen=True)
+class Adam(Optimizer):
+    """Row-sparse (lazy) Adam — beyond the reference's roster (build-scope;
+    the optimizer the TuckER/ConvE training schemes actually use).
+
+    Lazy semantics (TF LazyAdam / DGL-KE sparse-Adam convention): moments
+    decay and update ONLY at touched rows, and bias correction uses a
+    PER-ROW step count `t` (incremented on touch) — an embedding row
+    touched for the 10th time gets the t=10 correction regardless of the
+    global step, which is what makes sparse Adam trajectories independent
+    of how many batches skipped the row. Zero-count rows are exact no-ops
+    (same guarantee as AdaGrad/SGD via the masked apply paths), so the
+    no-violation batch remains a perfect no-op.
+    """
+
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+    def init(self, params) -> OptState:
+        return {
+            k: {
+                "m": jnp.zeros_like(v),
+                "v": jnp.zeros_like(v),
+                "t": jnp.zeros(v.shape[0], v.dtype),
+            }
+            for k, v in params.items()
+        }
+
+    def _step(self, rows, g, slots):
+        t = slots["t"] + 1.0
+        m = self.b1 * slots["m"] + (1.0 - self.b1) * g
+        v = self.b2 * slots["v"] + (1.0 - self.b2) * g * g
+        tb = _bcast(t, rows.ndim)
+        mhat = m / (1.0 - self.b1 ** tb)
+        vhat = v / (1.0 - self.b2 ** tb)
+        new = rows - self.lr * mhat / (jnp.sqrt(vhat) + self.eps)
+        return new, {"m": m, "v": v, "t": t}
+
+
+OPTIMIZERS = {"adagrad": AdaGrad, "sgd": SGD, "adam": Adam}
