@@ -53,10 +53,12 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return tree
 
 
-def save_checkpoint(
-    path: str, state: TrainState, meta: Optional[Dict[str, Any]] = None
-) -> None:
-    """Atomic write of the full training state."""
+def _snapshot_arrays(
+    state: TrainState, meta: Optional[Dict[str, Any]]
+) -> Dict[str, np.ndarray]:
+    """Host-resident copies of the full training state (one D2H transfer
+    per leaf; the snapshot is immutable once taken, so training may donate
+    or mutate device buffers immediately afterwards)."""
     arrays = {}
     arrays.update(_flatten("params", jax.device_get(state.params)))
     arrays.update(_flatten("opt", jax.device_get(state.opt_state)))
@@ -65,6 +67,10 @@ def save_checkpoint(
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8
     )
+    return arrays
+
+
+def _write_npz_atomic(path: str, arrays: Dict[str, np.ndarray]) -> None:
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
@@ -76,6 +82,68 @@ def save_checkpoint(
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def save_checkpoint(
+    path: str, state: TrainState, meta: Optional[Dict[str, Any]] = None
+) -> None:
+    """Atomic write of the full training state."""
+    _write_npz_atomic(path, _snapshot_arrays(state, meta))
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization with training (no reference
+    counterpart — build-scope, the orbax-style production pattern).
+
+    `save()` takes the host snapshot synchronously (device->host DMA — the
+    cheap, correctness-critical part: the snapshot is decoupled from any
+    buffer the step loop will donate/overwrite) and hands the npz write to
+    a background thread, so the step loop resumes while the file
+    serializes. Single-writer discipline: a new `save()` first joins the
+    previous write (bounded memory — at most one in-flight snapshot — and
+    checkpoints land in order). Write errors surface on the next `save()`
+    or `wait()`. Use as a context manager or call `wait()` before exit.
+    """
+
+    def __init__(self) -> None:
+        self._thread: Optional[Any] = None  # threading.Thread
+        self._error: Optional[BaseException] = None
+
+    def save(
+        self, path: str, state: TrainState,
+        meta: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        import threading
+
+        self.wait()
+        arrays = _snapshot_arrays(state, meta)
+
+        def _write() -> None:
+            try:
+                _write_npz_atomic(path, arrays)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name="skge-ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) finishes; re-raise its
+        error."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def __enter__(self) -> "AsyncCheckpointer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.wait()
 
 
 def save_sharded_checkpoint(

@@ -230,3 +230,45 @@ def test_sharded_checkpoint_partitioned_resume(tmp_path):
         np.asarray(jax.device_get(state2.params["E"])),
         np.asarray(jax.device_get(t._state.params["E"])),
     )
+
+
+def test_async_checkpointer_snapshot_isolation(tmp_path):
+    """AsyncCheckpointer: the saved file reflects the state AT save() time
+    even when training keeps mutating params while the write is in flight;
+    back-to-back saves serialize; wait() re-raises writer errors."""
+    from skge_tpu.utils.checkpoint import AsyncCheckpointer, load_checkpoint
+
+    import pytest
+
+    model = TransE(50, 4, 8)
+    opt = AdaGrad(lr=0.1)
+    state = init_state(model, opt, jax.random.PRNGKey(3))
+    snap_e = np.asarray(state.params["E"]).copy()
+
+    ck = AsyncCheckpointer()
+    p1 = str(tmp_path / "a.npz")
+    ck.save(p1, state, meta={"tag": 1})
+    # mutate immediately (simulates the donated next step)
+    state2 = type(state)(
+        {**state.params, "E": state.params["E"] + 1.0},
+        state.opt_state, state.key, state.step + 1,
+    )
+    p2 = str(tmp_path / "b.npz")
+    ck.save(p2, state2, meta={"tag": 2})  # joins the first write
+    ck.wait()
+
+    l1, m1 = load_checkpoint(p1)
+    l2, m2 = load_checkpoint(p2)
+    np.testing.assert_array_equal(np.asarray(l1.params["E"]), snap_e)
+    np.testing.assert_array_equal(
+        np.asarray(l2.params["E"]), snap_e + 1.0
+    )
+    assert m1["tag"] == 1 and m2["tag"] == 2
+    assert int(l2.step) == int(l1.step) + 1
+
+    # error propagation: a FILE blocks the target directory path
+    blocker = tmp_path / "blocked"
+    blocker.write_text("not a directory")
+    ck.save(str(blocker / "c.npz"), state)
+    with pytest.raises(Exception):
+        ck.wait()
