@@ -300,6 +300,22 @@ def latent_kg(
     )
 
 
+def unigram_logits(
+    triples: np.ndarray, n_entities: int,
+    alpha: float = 0.75, smoothing: float = 1.0,
+) -> np.ndarray:
+    """Log-probabilities for degree-weighted negative sampling (the
+    word2vec / DGL-KE unigram^alpha scheme; no reference counterpart —
+    build-scope). Entity e is drawn with probability proportional to
+    (deg(e) + smoothing)^alpha, where deg counts subject + object slots in
+    `triples`; smoothing keeps zero-degree entities reachable. Feed the
+    result to `SharedNegativeSampler(logits=...)`."""
+    deg = np.bincount(
+        np.concatenate([triples[:, 0], triples[:, 1]]), minlength=n_entities
+    ).astype(np.float64)
+    return (alpha * np.log(deg + smoothing)).astype(np.float32)
+
+
 def add_reciprocal_relations(ds: Dataset) -> Dataset:
     """Reciprocal-relation augmentation (the ConvE / ComplEx-N3 protocol;
     no reference counterpart — build-scope).

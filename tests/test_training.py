@@ -230,3 +230,58 @@ def test_epoch_padding_when_nbatches_does_not_divide(ds):
     state, m = epoch(state, jnp.asarray(ds.train))
     assert m.nviolations.shape == (7,)
     assert int(state.step) == 7
+
+
+def test_unigram_pool_distribution_and_training():
+    """SharedNegativeSampler(logits=...): pool draws follow the unigram^a
+    distribution (empirical vs expected frequencies), and the weighted pool
+    trains end-to-end identically in machinery to the uniform pool."""
+    import numpy as np
+
+    from skge_tpu import (AdaGrad, SharedNegativeSampler, TransE, init_state,
+                          make_epoch_fn, make_pairwise_step)
+    from skge_tpu.data import latent_kg, unigram_logits
+
+    ds = latent_kg(n_entities=300, n_relations=6, n_train=900, n_valid=0,
+                   n_test=30, latent_dim=6, seed=3)
+    logits = unigram_logits(ds.train, ds.n_entities)
+    # expected: softmax(logits) ∝ (deg + 1)^0.75
+    deg = np.bincount(
+        np.concatenate([ds.train[:, 0], ds.train[:, 1]]),
+        minlength=ds.n_entities,
+    )
+    want = (deg + 1.0) ** 0.75
+    want = want / want.sum()
+
+    sampler = SharedNegativeSampler(ds.n_entities, k=512, logits=logits)
+    draws = []
+    for i in range(40):
+        draws.append(np.asarray(
+            sampler.pool(jax.random.PRNGKey(i), None, None)
+        ))
+    freq = np.bincount(np.concatenate(draws), minlength=ds.n_entities)
+    got = freq / freq.sum()
+    # 20k draws: compare aggregate mass of the top-degree decile (tight
+    # per-entity comparison would need far more samples)
+    top = np.argsort(-want)[:20]
+    np.testing.assert_allclose(got[top].sum(), want[top].sum(), rtol=0.1)
+    # weighted pool must oversample high-degree entities vs uniform
+    assert got[top].sum() > 1.5 * (20 / ds.n_entities)
+
+    model = TransE(ds.n_entities, ds.n_relations, 12, l1=False)
+    opt = AdaGrad(lr=0.2)
+    step = make_pairwise_step(model, opt,
+                              SharedNegativeSampler(ds.n_entities, k=32,
+                                                    logits=logits),
+                              margin=1.0, aggregate="dense")
+    epoch = jax.jit(make_epoch_fn(step, ds.train.shape[0], 6),
+                    donate_argnums=(0,))
+    state = init_state(model, opt, jax.random.PRNGKey(0))
+    xs = jnp.asarray(ds.train)
+    first = last = None
+    for e in range(20):
+        state, m = epoch(state, xs)
+        nv = float(np.asarray(m.nviolations).sum())
+        first = nv if first is None else first
+        last = nv
+    assert last < first * 0.8
