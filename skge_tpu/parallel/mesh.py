@@ -58,15 +58,45 @@ def param_specs(model: KGEModel) -> Dict[str, P]:
     return specs
 
 
-def state_shardings(model: KGEModel, mesh: Mesh) -> TrainState:
-    """NamedShardings pytree matching a TrainState for this model."""
+def adapt_spec(spec: P, ndim: int) -> P:
+    """Fit a parameter's row-sharding spec to a different array rank —
+    optimizer slots need not match the parameter's rank (Adam's per-row
+    step count `t` is 1-D while the table is 2-D): axis 0 keeps the row
+    sharding, trailing axes are replicated."""
+    if len(spec) == 0 or spec[0] is None:
+        return P()
+    return P(spec[0], *([None] * (ndim - 1)))
+
+
+def opt_slot_specs(
+    opt, model: KGEModel, specs: Dict[str, P]
+) -> Dict[str, Dict[str, P]]:
+    """Per-slot PartitionSpecs for an optimizer's state, rank-adapted per
+    slot (abstractly, via eval_shape — no arrays are materialized)."""
+    shapes = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
+    slot_shapes = jax.eval_shape(opt.init, shapes)
+    return {
+        k: {sn: adapt_spec(specs[k], v.ndim) for sn, v in slots.items()}
+        for k, slots in slot_shapes.items()
+    }
+
+
+def state_shardings(model: KGEModel, mesh: Mesh, opt=None) -> TrainState:
+    """NamedShardings pytree matching a TrainState for this model (and
+    optimizer — defaults to AdaGrad's single like-param slot)."""
+    from skge_tpu.optim import AdaGrad
+
     specs = param_specs(model)
 
     def ns(spec):
         return NamedSharding(mesh, spec)
 
     params_sh = {k: ns(specs[k]) for k in specs}
-    opt_sh = {k: {"p2": ns(specs[k])} for k in specs}
+    slot_specs = opt_slot_specs(opt or AdaGrad(), model, specs)
+    opt_sh = {
+        k: {sn: ns(sp) for sn, sp in slots.items()}
+        for k, slots in slot_specs.items()
+    }
     return TrainState(
         params=params_sh,
         opt_state=opt_sh,
@@ -76,25 +106,26 @@ def state_shardings(model: KGEModel, mesh: Mesh) -> TrainState:
 
 
 def shard_state(state: TrainState, model: KGEModel, mesh: Mesh) -> TrainState:
-    """Place an existing state onto the mesh with the canonical shardings."""
-    sh = state_shardings(model, mesh)
-    opt_sh = {
-        k: {kk: sh.opt_state[k]["p2"] for kk in state.opt_state[k]}
-        for k in state.opt_state
-    }
+    """Place an existing state onto the mesh with the canonical shardings.
+    Optimizer slots are rank-adapted from their actual arrays."""
+    specs = param_specs(model)
+
+    def ns(spec):
+        return NamedSharding(mesh, spec)
+
     return TrainState(
         params={
-            k: jax.device_put(v, sh.params[k]) for k, v in state.params.items()
+            k: jax.device_put(v, ns(specs[k])) for k, v in state.params.items()
         },
         opt_state={
             k: {
-                kk: jax.device_put(vv, opt_sh[k][kk])
+                kk: jax.device_put(vv, ns(adapt_spec(specs[k], vv.ndim)))
                 for kk, vv in state.opt_state[k].items()
             }
             for k in state.opt_state
         },
-        key=jax.device_put(state.key, sh.key),
-        step=jax.device_put(state.step, sh.step),
+        key=jax.device_put(state.key, ns(P())),
+        step=jax.device_put(state.step, ns(P())),
     )
 
 

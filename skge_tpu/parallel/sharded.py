@@ -54,7 +54,7 @@ def make_sharded_pairwise_step(
     `state` must be placed with `parallel.mesh.shard_state`; batch/mask are
     placed (or constrained) to the 'data' axis.
     """
-    st_sh = state_shardings(model, mesh)
+    st_sh = state_shardings(model, mesh, opt)
     b_sh = batch_sharding(mesh)
     m_sh = mask_sharding(mesh)
     shared = hasattr(sampler, "pool")
@@ -121,7 +121,7 @@ def make_sharded_pointwise_step(
     mesh: Mesh,
 ):
     update = make_pointwise_update(model, opt, aggregate="dense")
-    st_sh = state_shardings(model, mesh)
+    st_sh = state_shardings(model, mesh, opt)
     b_sh = batch_sharding(mesh)
     m_sh = mask_sharding(mesh)
     shared = hasattr(sampler, "pool")

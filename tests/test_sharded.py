@@ -145,3 +145,38 @@ def test_sharded_eval_matmul(mesh, ds):
         {k: jnp.asarray(v) for k, v in host_params.items()}, s, p
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5)
+
+
+def test_sharded_adam_matches_single_device(mesh, ds):
+    """Adam's rank-mismatched slots (1-D per-row `t` under a 2-D row-sharded
+    table) must place and run under the GSPMD path identically to the
+    single-device trajectory."""
+    from skge_tpu import Adam, SharedNegativeSampler
+    from skge_tpu.training import make_pairwise_step
+
+    model = TransE(ds.n_entities, ds.n_relations, ncomp=16)
+    opt = Adam(lr=0.01)
+    sampler = SharedNegativeSampler(ds.n_entities, k=16)
+    batch = jnp.asarray(ds.train[:64])
+    mask = jnp.ones(64, jnp.float32)
+
+    base = init_state(model, opt, jax.random.PRNGKey(1))
+    ref = jax.jit(make_pairwise_step(model, opt, sampler, 0.5,
+                                     aggregate="dense"))
+    ref_state, _ = ref(base, batch, mask)
+
+    sh_state = shard_state(base, model, mesh)
+    # per-row slot actually sharded over 'model'
+    t_shard = sh_state.opt_state["E"]["t"].sharding.spec
+    assert t_shard[0] == MODEL_AXIS
+    step = make_sharded_pairwise_step(model, opt, sampler, 0.5, mesh)
+    out_state, _ = step(sh_state, batch, mask)
+    for pname in base.params:
+        np.testing.assert_allclose(
+            np.asarray(out_state.params[pname]),
+            np.asarray(ref_state.params[pname]), rtol=2e-6, atol=1e-7,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_state.opt_state["E"]["t"]),
+        np.asarray(ref_state.opt_state["E"]["t"]), rtol=0, atol=0,
+    )
