@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--nqueries", type=int, default=59071)  # FB15k test size
     ap.add_argument("--nknown", type=int, default=483142)
+    ap.add_argument("--bf16", action="store_true",
+                    help="compute_dtype='bfloat16' for the sweep matmuls "
+                    "(params stay fp32; exactness of the top-K set is NOT "
+                    "guaranteed at bf16 — measure the recall trade)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +50,8 @@ def main() -> None:
     from skge_tpu import MODELS, LinkPredictor
 
     kw = {"l1": not args.l2} if args.model == "transe" else {}
+    if args.bf16:
+        kw["compute_dtype"] = "bfloat16"
     model = MODELS[args.model](
         args.entities, args.relations, args.ncomp, **kw
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -302,3 +302,119 @@ def evaluate(
         known = test
     ev = FilteredRankingEval(model, test, known, batch_size, hits_at)
     return ev(params)
+
+
+# ---------------------------------------------------------------------------
+# Triple classification (Socher et al. 2013 / TransH protocol) — the OTHER
+# standard KGE evaluation; no reference counterpart (build-scope).
+# ---------------------------------------------------------------------------
+
+def classification_negatives(
+    triples: np.ndarray, n_entities: int, known: np.ndarray, seed: int = 0,
+    ntries: int = 100, n_relations: Optional[int] = None,
+) -> np.ndarray:
+    """One corrupted triple per positive (alternating subject/object
+    corruption), rejection-resampled against `known` so no generated
+    negative is a true triple — the filtered convention that makes
+    classification accuracy meaningful."""
+    from skge_tpu.data import encode_keys_np
+
+    if n_relations is None:
+        n_relations = int(
+            max(np.max(triples[:, 2]), np.max(known[:, 2]))
+        ) + 1
+    rng = np.random.default_rng(seed)
+    known_keys = np.sort(
+        encode_keys_np(np.asarray(known, np.int64), n_entities, n_relations)
+    )
+    neg = np.asarray(triples, np.int32).copy()
+    modes = np.arange(len(neg)) % 2
+    pending = np.arange(len(neg))
+    for _ in range(ntries):
+        if len(pending) == 0:
+            break
+        repl = rng.integers(0, n_entities, len(pending)).astype(np.int32)
+        neg[pending, modes[pending]] = repl
+        keys = encode_keys_np(
+            neg[pending].astype(np.int64), n_entities, n_relations
+        )
+        pos = np.searchsorted(known_keys, keys)
+        hit = (pos < len(known_keys)) & (known_keys[np.minimum(pos, len(known_keys) - 1)] == keys)
+        pending = pending[hit]
+    return neg
+
+
+def _best_threshold(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Threshold tau maximizing accuracy of (score >= tau -> positive),
+    chosen at midpoints between adjacent sorted scores (plus the two
+    open ends)."""
+    order = np.argsort(scores)
+    s, y = scores[order], labels[order]
+    # predicting positive for >= tau at cut i means items [i:] positive:
+    # correct = (#neg in [:i]) + (#pos in [i:])
+    neg_below = np.concatenate([[0], np.cumsum(y <= 0)])
+    pos_at_or_above = np.concatenate([np.cumsum((y > 0)[::-1])[::-1], [0]])
+    correct = neg_below + pos_at_or_above
+    i = int(np.argmax(correct))
+    if i == 0:
+        return -np.inf
+    if i == len(s):
+        return np.inf
+    return float((s[i - 1] + s[i]) / 2.0)
+
+
+def triple_classification(
+    model: KGEModel,
+    params: Params,
+    valid_pos: np.ndarray,
+    valid_neg: np.ndarray,
+    test_pos: np.ndarray,
+    test_neg: np.ndarray,
+    batch_size: int = 8192,
+) -> Dict[str, Any]:
+    """Per-relation score thresholds fit on valid, accuracy reported on
+    test (the Socher et al. / TransH protocol). Relations absent from the
+    valid set fall back to the global threshold. Scoring batches through
+    the model's jitted `score_triples`; threshold search is exact (best
+    midpoint per relation) on host.
+
+    Returns {'accuracy', 'thresholds' {p: tau}, 'global_threshold',
+    'per_relation' {p: accuracy}}.
+    """
+    def score(tr: np.ndarray) -> np.ndarray:
+        out = np.empty(len(tr), np.float64)
+        for i in range(0, len(tr), batch_size):
+            chunk = np.asarray(tr[i : i + batch_size], np.int32)
+            out[i : i + len(chunk)] = np.asarray(
+                model.score_triples(params, jnp.asarray(chunk))
+            )
+        return out
+
+    v_tr = np.concatenate([valid_pos, valid_neg])
+    v_y = np.concatenate(
+        [np.ones(len(valid_pos)), -np.ones(len(valid_neg))]
+    )
+    v_s = score(v_tr)
+    global_tau = _best_threshold(v_s, v_y)
+    thresholds: Dict[int, float] = {}
+    for p in np.unique(v_tr[:, 2]):
+        sel = v_tr[:, 2] == p
+        thresholds[int(p)] = _best_threshold(v_s[sel], v_y[sel])
+
+    t_tr = np.concatenate([test_pos, test_neg])
+    t_y = np.concatenate([np.ones(len(test_pos)), -np.ones(len(test_neg))])
+    t_s = score(t_tr)
+    taus = np.array(
+        [thresholds.get(int(p), global_tau) for p in t_tr[:, 2]]
+    )
+    pred = np.where(t_s >= taus, 1.0, -1.0)
+    per_rel = {}
+    for p in np.unique(t_tr[:, 2]):
+        sel = t_tr[:, 2] == p
+        per_rel[int(p)] = float(np.mean(pred[sel] == t_y[sel]))
+    return {
+        "accuracy": float(np.mean(pred == t_y)),
+        "thresholds": thresholds,
+        "global_threshold": global_tau,
+        "per_relation": per_rel,
+    }
