@@ -57,15 +57,41 @@ def _entity_param(model: KGEModel) -> str:
     return by_role["s"]
 
 
-def _param_specs(model: KGEModel):
-    """E sharded over 'model'; relation + dense params replicated."""
+def _param_specs(model: KGEModel, shard_relations: bool = False):
+    """E sharded over 'model'; relation tables replicated by default (or
+    row-sharded too with `shard_relations` — the DGL-KE relation-partition
+    analogue for large-n_r / wide-relation models like RESCAL/TransR whose
+    (n_r, d, d) tables dominate memory); dense params replicated."""
     epname = _entity_param(model)
     specs = {}
     for _, pname, role in model.slot_spec():
-        specs[pname] = P(MODEL_AXIS) if pname == epname else P()
+        if pname == epname or (shard_relations and role == "p"):
+            specs[pname] = P(MODEL_AXIS)
+        else:
+            specs[pname] = P()
     for pname in model.dense_param_names:
         specs[pname] = P()
     return specs
+
+
+def _sharded_row_tables(
+    model: KGEModel, m_size: int, shard_relations: bool
+):
+    """{pname: global_rows} for every row table sharded over 'model';
+    validates divisibility."""
+    epname = _entity_param(model)
+    tables = {epname: model.n_entities}
+    if shard_relations:
+        for _, pname, role in model.slot_spec():
+            if role == "p":
+                tables[pname] = model.n_relations
+    for pname, rows in tables.items():
+        if rows % m_size != 0:
+            raise ValueError(
+                f"{pname}: {rows} rows not divisible by model axis "
+                f"{m_size}; pad the row count (embedding row count is free)"
+            )
+    return tables
 
 
 def _scatter_sums(idx, grads, counts, rows):
@@ -89,12 +115,22 @@ def make_shardmap_pairwise_step(
     sampler: Callable,
     margin: float,
     mesh: Mesh,
+    shard_relations: bool = False,
 ):
     """Jitted explicit-SPMD pairwise step: (state, batch, mask) -> (state, m).
 
     `state` entity tables must be placed with `shard_state_shardmap`; batch
     and mask sharded over 'data'. Supports the `pool` (shared-negative) and
     `corruptions` (iid) sampler protocols.
+
+    `shard_relations` row-shards the relation tables over 'model' too
+    (place the state with the same flag): per-chip relation storage drops
+    to n_r/M rows — the scaling story for wide-relation models (RESCAL /
+    TransR hold (n_r, d, d) tables that dominate memory at large n_r) —
+    at the cost of one extra O(B·feat) psum per relation table for the
+    row gather (same masked-local + psum('model') pattern as E) and an
+    owned-rows scatter that needs NO extra collective (the gradient
+    reduction stays psum('data'), now over an n_r/M-row table).
 
     Sampling happens OUTSIDE shard_map on the global batch, from the same
     `split(state.key)` stream as the single-device step — so a mesh run's
@@ -103,18 +139,13 @@ def make_shardmap_pairwise_step(
     draws). The update math reduces per-shard scatter tables with
     psum('data') before the duplicate-count averaging, which reorders
     only exact zero-padding adds. Trajectory parity is pinned in
-    tests/test_trainer_mesh.py.
+    tests/test_trainer_mesh.py (and tests/test_shardmap.py for
+    shard_relations).
     """
-    epname = _entity_param(model)
-    n_e = model.n_entities
     m_size = mesh.shape[MODEL_AXIS]
-    if n_e % m_size != 0:
-        raise ValueError(
-            f"n_entities={n_e} not divisible by model axis {m_size}; pad the "
-            "entity count (embedding row count is free)"
-        )
-    shard_rows = n_e // m_size
-    specs = _param_specs(model)
+    tables = _sharded_row_tables(model, m_size, shard_relations)
+    local_rows = {k: rows // m_size for k, rows in tables.items()}
+    specs = _param_specs(model, shard_relations)
     shared = hasattr(sampler, "pool")
 
     # optimizer slot names (e.g. AdaGrad's 'p2', SGD's none) from a dummy init
@@ -129,14 +160,16 @@ def make_shardmap_pairwise_step(
 
     def local_step(modes, state: TrainState, batch, mask, draws):
         params = state.params
-        row_off = jax.lax.axis_index(MODEL_AXIS) * shard_rows
+        shard_idx = jax.lax.axis_index(MODEL_AXIS)
+        offs = {k: shard_idx * r for k, r in local_rows.items()}
 
         def gather(pname, idx, role=None):
-            if pname != epname:
+            if pname not in local_rows:
                 return params[pname][idx]
-            local = idx - row_off
-            own = jnp.logical_and(local >= 0, local < shard_rows)
-            rows = params[pname][jnp.clip(local, 0, shard_rows - 1)]
+            srows = local_rows[pname]
+            local = idx - offs[pname]
+            own = jnp.logical_and(local >= 0, local < srows)
+            rows = params[pname][jnp.clip(local, 0, srows - 1)]
             rows = jnp.where(
                 own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
             )
@@ -164,16 +197,17 @@ def make_shardmap_pairwise_step(
         new_opt = dict(state.opt_state)
         reg = model.regularization
         for pname, (idx, grads, counts) in occ.items():
-            if pname == epname:
-                local = idx - row_off
+            if pname in local_rows:
+                srows = local_rows[pname]
+                local = idx - offs[pname]
                 # JAX .at[] wraps NEGATIVE indices NumPy-style BEFORE the
                 # drop-mode bounds check — route non-owned rows to an
                 # always-out-of-range positive index instead
                 local = jnp.where(
-                    jnp.logical_and(local >= 0, local < shard_rows),
-                    local, shard_rows,
+                    jnp.logical_and(local >= 0, local < srows),
+                    local, srows,
                 )
-                table = _scatter_sums(local, grads, counts, shard_rows)
+                table = _scatter_sums(local, grads, counts, srows)
             else:
                 table = _scatter_sums(idx, grads, counts, model.num_rows(pname))
             table = jax.lax.psum(table, DATA_AXIS)
@@ -423,10 +457,12 @@ def make_shardmap_ce_step(
 
 
 def shard_state_shardmap(
-    state: TrainState, model: KGEModel, mesh: Mesh
+    state: TrainState, model: KGEModel, mesh: Mesh,
+    shard_relations: bool = False,
 ) -> TrainState:
-    """Place a TrainState for the shard_map step (E over 'model')."""
-    specs = _param_specs(model)
+    """Place a TrainState for the shard_map step (E over 'model'; relation
+    tables too with `shard_relations` — match the step's flag)."""
+    specs = _param_specs(model, shard_relations)
 
     def put(tree_specs, tree):
         return jax.tree.map(

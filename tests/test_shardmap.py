@@ -189,3 +189,75 @@ def test_shardmap_rejects_indivisible_entity_count():
         make_shardmap_pairwise_step(
             model, AdaGrad(), FixedPool(jnp.zeros(4, jnp.int32)), 1.0, mesh
         )
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+@pytest.mark.parametrize("case", ["rescal", "transh"])
+def test_shard_relations_matches_single_device(case, mesh_shape):
+    """Relation tables row-sharded over 'model' (shard_relations=True):
+    the masked-gather + psum('model') on p-rows and the owned-rows scatter
+    must reproduce the single-device update exactly — incl. RESCAL's 3-D W
+    and TransH's TWO relation tables."""
+    from skge_tpu import RESCAL, TransH
+
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs 8 virtual devices")
+    n_r = 4  # divisible by model axes 2 and 4
+    if case == "rescal":
+        model = RESCAL(N_E, n_r, 8, dtype="float64", rparam=0.01)
+    else:
+        model = TransH(N_E, n_r, 8, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    margin = 0.7
+    rng = np.random.default_rng(11)
+    batch = jnp.asarray(
+        np.stack(
+            [rng.integers(0, N_E, B), rng.integers(0, N_E, B),
+             rng.integers(0, n_r, B)], axis=1
+        ).astype(np.int32)
+    )
+    mask = jnp.ones(B, jnp.float64)
+    sampler = FixedPool(jnp.asarray(rng.integers(0, N_E, 9), jnp.int32))
+
+    want, (wloss, wnviol) = reference_steps(
+        model, opt, sampler, batch, mask, margin, nsteps=3
+    )
+
+    mesh = make_mesh(jax.devices()[:n_dev], shape=mesh_shape)
+    step = make_shardmap_pairwise_step(
+        model, opt, sampler, margin, mesh, shard_relations=True
+    )
+    state = shard_state_shardmap(
+        init_state(model, opt, jax.random.PRNGKey(4)), model, mesh,
+        shard_relations=True,
+    )
+    # relation tables actually sharded
+    for pname in ("W",):
+        shards = state.params[pname].addressable_shards
+        rows = {s.data.shape[0] for s in shards}
+        assert rows == {n_r // mesh_shape[1]}
+    for _ in range(3):
+        state, m = step(state, batch, mask)
+    for pname in want.params:
+        np.testing.assert_allclose(
+            np.asarray(state.params[pname]), np.asarray(want.params[pname]),
+            rtol=1e-12, atol=1e-14,
+            err_msg=f"{case}/{mesh_shape}/{pname}",
+        )
+    np.testing.assert_allclose(float(m.loss), float(wloss), rtol=1e-12)
+    assert int(m.nviolations) == int(wnviol)
+
+
+def test_shard_relations_rejects_indivisible_relation_count():
+    from skge_tpu import RESCAL
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = RESCAL(N_E, 5, 8)  # 5 relations, model axis 2
+    mesh = make_mesh(jax.devices()[:8], shape=(4, 2))
+    sampler = FixedPool(jnp.zeros(4, jnp.int32))
+    with pytest.raises(ValueError, match="not divisible"):
+        make_shardmap_pairwise_step(
+            model, AdaGrad(), sampler, 0.5, mesh, shard_relations=True
+        )
