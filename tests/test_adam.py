@@ -181,3 +181,36 @@ def test_checkpoint_roundtrip():
                 np.testing.assert_array_equal(
                     np.asarray(loaded.opt_state[pname][k]), np.asarray(v)
                 )
+
+
+def test_adam_out_of_core_p1_matches_incore():
+    """OOC's host-resident slot plumbing is optimizer-generic: with Adam's
+    three slots (incl. the 1-D per-row t) a P=1 OOC run must reproduce the
+    in-core trajectory bit-for-bit, same as the AdaGrad guarantee."""
+    from skge_tpu import (OutOfCoreTrainer, SharedNegativeSampler,
+                          make_epoch_fn, make_pairwise_step)
+    from skge_tpu.data import synthetic_kg
+
+    ds = synthetic_kg(n_entities=48, n_relations=4, n_train=240, seed=7)
+    model = TransE(ds.n_entities, ds.n_relations, 8, l1=False)
+    opt = Adam(lr=0.01)
+
+    tr = OutOfCoreTrainer(model, opt, ds.train, n_parts=1, margin=1.0,
+                          k=16, nbatches=4, seed=0)
+    tr.fit(epochs=3)
+    ooc_e = tr.params()["E"]
+
+    # in-core reference (same key-split protocol as the trainer)
+    step = make_pairwise_step(
+        model, opt, SharedNegativeSampler(ds.n_entities, k=16),
+        margin=1.0, aggregate="dense",
+    )
+    epoch = jax.jit(make_epoch_fn(step, ds.train.shape[0], 4),
+                    donate_argnums=(0,))
+    state = init_state(model, opt, jax.random.PRNGKey(0))
+    xs = jnp.asarray(ds.train)
+    for _ in range(3):
+        state, _ = epoch(state, xs)
+    np.testing.assert_array_equal(
+        ooc_e[: ds.n_entities], np.asarray(state.params["E"])
+    )
