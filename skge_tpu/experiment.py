@@ -121,8 +121,12 @@ class Experiment:
                 )
         model_cls = MODELS[args.model]
         kw = {}
-        if args.model in ("hole", "rescal", "distmult", "complex", "tucker"):
+        if args.model in ("hole", "rescal", "distmult", "complex", "tucker",
+                          "simple", "quate", "rotate", "conve"):
             kw["rparam"] = args.rparam
+        if args.n3 and args.model in ("distmult", "complex", "tucker",
+                                      "simple", "quate"):
+            kw["n3"] = args.n3
         if args.model == "ermlp":
             kw["nhidden"] = args.nhidden
         if args.model == "hole":
@@ -409,6 +413,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--label-smoothing", type=float, default=0.0,
                    help="cross-entropy label smoothing (ConvE uses 0.1)")
     p.add_argument("--rparam", type=float, default=0.0)
+    p.add_argument("--n3", type=float, default=0.0,
+                   help="nuclear-3-norm coefficient (factorization models)")
     p.add_argument("--nhidden", type=int, default=10)
     p.add_argument("--af", default="sigmoid")
     p.add_argument("--init", default="nunif", choices=["nunif", "normal"])
