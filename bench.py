@@ -75,6 +75,12 @@ def main() -> None:
         "The iid path is row-op-rate-limited on TPU, so more negatives "
         "amortize the positive's gather/scatter rows.",
     )
+    ap.add_argument(
+        "--ce", action="store_true",
+        help="full 1-vs-all cross-entropy loss instead of pairwise margin "
+        "(no sampler; every positive scored against ALL entities — work "
+        "units = n_entities per positive per direction)",
+    )
     args = ap.parse_args()
     if args.negatives < 1:
         ap.error("--negatives must be >= 1")
@@ -112,15 +118,24 @@ def main() -> None:
     n_rel = 2 * ds.n_relations if args.model == "conve" else ds.n_relations
     model = MODELS[args.model](ds.n_entities, n_rel, args.ncomp)
     opt = AdaGrad(lr=0.1)
-    if args.sampler == "shared":
+    if args.ce:
+        from skge_tpu import make_ce_step
+
+        directions = ("o",) if args.model == "conve" else ("o", "s")
+        step = make_ce_step(model, opt, directions=directions)
+        # CE scores every positive against ALL entities per direction;
+        # work units = reference-equivalent candidate scorings
+        pairs_per_positive = len(directions) * ds.n_entities
+    elif args.sampler == "shared":
         sampler = SharedNegativeSampler(ds.n_entities, k=args.k, modes=modes)
         pairs_per_positive = len(modes) * args.k
     else:
         sampler = RandomModeSampler(ds.n_entities, modes=modes * args.negatives)
         pairs_per_positive = len(modes) * args.negatives
-    step = make_pairwise_step(
-        model, opt, sampler, margin=1.0, aggregate=args.aggregate
-    )
+    if not args.ce:
+        step = make_pairwise_step(
+            model, opt, sampler, margin=1.0, aggregate=args.aggregate
+        )
     epoch = jax.jit(
         make_epoch_fn(step, ds.train.shape[0], args.nbatches),
         donate_argnums=(0,),
@@ -142,13 +157,18 @@ def main() -> None:
     np.asarray(m.loss)
     dt = time.perf_counter() - t0
 
-    # 2 reference-equivalent scores (pos+neg) per margin-ranked pair
-    scored_per_epoch = 2 * pairs_per_positive * ds.train.shape[0]
+    # 2 reference-equivalent scores (pos+neg) per margin-ranked pair;
+    # CE work units are single candidate scorings (no pairing)
+    per_pair = 1 if args.ce else 2
+    scored_per_epoch = per_pair * pairs_per_positive * ds.train.shape[0]
     value = scored_per_epoch * args.epochs / dt
     print(
         json.dumps(
             {
-                "metric": f"{args.model}_fb15k_scored_triples_per_s_per_chip",
+                "metric": (
+                    f"{args.model}{'_ce' if args.ce else ''}"
+                    "_fb15k_scored_triples_per_s_per_chip"
+                ),
                 "value": round(value, 1),
                 "unit": "triples/s",
                 "vs_baseline": round(value / 50e6, 4),
