@@ -475,3 +475,55 @@ def test_debug_checks_cap_warning_compiles_and_runs(capfd):
     jax.block_until_ready(state.params["E"])
     out = capfd.readouterr()
     assert "PARTITIONED WARNING" in out.out + out.err
+
+
+def test_partitioned_step_with_adam_matches_single_device():
+    """The partitioned path's P(SHARD_AXIS) specs are rank-agnostic: Adam's
+    1-D per-row t slot shards and updates identically to single device."""
+    from skge_tpu import Adam
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(61, 5, n_train=400, seed=7, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    batches, mask, _ = partition_edges(rel, _range_part(n_pad, s), P_PARTS)
+    batches = jnp.asarray(batches)
+    mask = jnp.asarray(mask, jnp.float64)
+
+    model = TransE(n_pad, ds.n_relations, 16, dtype="float64")
+    opt = Adam(lr=0.01)
+    margin = 0.7
+    rng = np.random.default_rng(13)
+    sampler = FixedPool(jnp.asarray(rng.integers(0, n_pad, 7), jnp.int32))
+
+    flat_batch = batches.reshape(-1, 3)
+    flat_mask = mask.reshape(-1)
+    ref = init_state(model, opt, jax.random.PRNGKey(4))
+    for _ in range(3):
+        loss, nviol, occ, g_dense = training.pairwise_grads_shared(
+            model, ref.params, flat_batch, sampler._pool, flat_mask, margin,
+        )
+        p_new, o_new = training.apply_gradients(
+            model, opt, ref.params, ref.opt_state, occ, g_dense,
+            "dense", premasked=True,
+        )
+        ref = training.TrainState(p_new, o_new, ref.key, ref.step + 1)
+
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    step = make_partitioned_pairwise_step(model, opt, sampler, margin, mesh)
+    state = shard_state_partitioned(
+        init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+    )
+    for _ in range(3):
+        state, m = step(state, batches, mask)
+    for k in ref.params:
+        np.testing.assert_allclose(
+            np.asarray(state.params[k]), np.asarray(ref.params[k]),
+            rtol=1e-9, atol=1e-12,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(state.opt_state["E"]["t"]),
+        np.asarray(ref.opt_state["E"]["t"]),
+    )
