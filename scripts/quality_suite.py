@@ -106,34 +106,53 @@ def main() -> None:
         ("TuckER", TuckER(ds.n_entities, ds.n_relations, 100, rparam=0.01), 1.0, 0.1, None),
         ("SimplE", SimplE(ds.n_entities, ds.n_relations, 75), 0.5, 0.3, 2048),
         ("QuatE", QuatE(ds.n_entities, ds.n_relations, 38), 0.5, 0.3, 2048),
+        # ConvE runs its canonical scheme instead of the pairwise pool:
+        # reciprocal relations + object-direction 1-vs-all CE (ls=0.1)
+        ("ConvE", None, 0.0, 0.3, None),
     ]
 
     if args.sampler == "random-mode":
         # reference operating point: iid corruption, margin 0.2, lr 0.1
-        configs = [(n, m, 0.2, 0.1, None) for n, m, _, _, _ in configs]
+        configs = [(n, m, 0.2, 0.1, None) for n, m, _, _, _ in configs
+                   if n != "ConvE"]
     if args.models:
         want = {m.strip() for m in args.models.split(",")}
         configs = [c for c in configs if c[0] in want]
     rows = []
     for name, model, margin, lr, k in configs:
-        if args.sampler == "random-mode":
+        opt = AdaGrad(lr=lr)
+        if name == "ConvE":
+            from skge_tpu import make_ce_step
+            from skge_tpu.data import add_reciprocal_relations
+            from skge_tpu.models import ConvE
+
+            aug = add_reciprocal_relations(ds)
+            model = ConvE(aug.n_entities, aug.n_relations, 150)
+            step = make_ce_step(model, opt, directions=("o",),
+                                label_smoothing=0.1)
+            train_xs = jnp.asarray(aug.train)
+        elif args.sampler == "random-mode":
             sampler = RandomModeSampler(
                 ds.n_entities, modes=(0, 1) * args.negatives
             )
+            step = make_pairwise_step(
+                model, opt, sampler, margin=margin, aggregate="dense"
+            )
+            train_xs = xs
         else:
             sampler = SharedNegativeSampler(ds.n_entities, k=k or args.k)
-        opt = AdaGrad(lr=lr)
-        step = make_pairwise_step(
-            model, opt, sampler, margin=margin, aggregate="dense"
-        )
+            step = make_pairwise_step(
+                model, opt, sampler, margin=margin, aggregate="dense"
+            )
+            train_xs = xs
         epoch = jax.jit(
-            make_epoch_fn(step, ds.train.shape[0], args.nbatches),
+            make_epoch_fn(step, int(train_xs.shape[0]), args.nbatches),
             donate_argnums=(0,),
         )
         state = init_state(model, opt, jax.random.PRNGKey(0))
         t0 = time.perf_counter()
         for _ in range(args.epochs):
-            state, m = epoch(state, xs)
+            state, m = epoch(state, train_xs)
         np.asarray(m.loss)
         t_train = time.perf_counter() - t0
         ev = FilteredRankingEval(model, ds.test, ds.all_triples(), batch_size=1024)
