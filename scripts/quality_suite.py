@@ -131,16 +131,13 @@ def main() -> None:
             step = make_ce_step(model, opt, directions=("o",),
                                 label_smoothing=0.1)
             train_xs = jnp.asarray(aug.train)
-        elif args.sampler == "random-mode":
-            sampler = RandomModeSampler(
-                ds.n_entities, modes=(0, 1) * args.negatives
-            )
-            step = make_pairwise_step(
-                model, opt, sampler, margin=margin, aggregate="dense"
-            )
-            train_xs = xs
         else:
-            sampler = SharedNegativeSampler(ds.n_entities, k=k or args.k)
+            if args.sampler == "random-mode":
+                sampler = RandomModeSampler(
+                    ds.n_entities, modes=(0, 1) * args.negatives
+                )
+            else:
+                sampler = SharedNegativeSampler(ds.n_entities, k=k or args.k)
             step = make_pairwise_step(
                 model, opt, sampler, margin=margin, aggregate="dense"
             )

@@ -341,13 +341,26 @@ def classification_negatives(
         pos = np.searchsorted(known_keys, keys)
         hit = (pos < len(known_keys)) & (known_keys[np.minimum(pos, len(known_keys) - 1)] == keys)
         pending = pending[hit]
+    if len(pending):
+        # returning a known-true triple as a "negative" would silently
+        # inflate classification accuracy — fail loudly instead (a relation
+        # so dense that ntries rejections all collide is a protocol
+        # problem, not something to paper over)
+        raise ValueError(
+            f"{len(pending)} triples still collide with known-true triples "
+            f"after {ntries} rejection rounds; raise ntries or drop the "
+            "offending (near-universal) relations"
+        )
     return neg
 
 
 def _best_threshold(scores: np.ndarray, labels: np.ndarray) -> float:
     """Threshold tau maximizing accuracy of (score >= tau -> positive),
-    chosen at midpoints between adjacent sorted scores (plus the two
-    open ends)."""
+    chosen at midpoints between DISTINCT adjacent sorted scores (plus the
+    two open ends). A cut between two EQUAL scores is unrealizable — the
+    midpoint equals the scores themselves and `>=` would flip the lower
+    item — so tied positions are excluded from the search (matters for
+    quantized/saturated scores, e.g. sigmoid-saturated or bf16 outputs)."""
     order = np.argsort(scores)
     s, y = scores[order], labels[order]
     # predicting positive for >= tau at cut i means items [i:] positive:
@@ -355,6 +368,8 @@ def _best_threshold(scores: np.ndarray, labels: np.ndarray) -> float:
     neg_below = np.concatenate([[0], np.cumsum(y <= 0)])
     pos_at_or_above = np.concatenate([np.cumsum((y > 0)[::-1])[::-1], [0]])
     correct = neg_below + pos_at_or_above
+    realizable = np.concatenate([[True], s[1:] > s[:-1], [True]])
+    correct = np.where(realizable, correct, -1)
     i = int(np.argmax(correct))
     if i == 0:
         return -np.inf

@@ -124,8 +124,14 @@ class Experiment:
         if args.model in ("hole", "rescal", "distmult", "complex", "tucker",
                           "simple", "quate", "rotate", "conve"):
             kw["rparam"] = args.rparam
-        if args.n3 and args.model in ("distmult", "complex", "tucker",
-                                      "simple", "quate"):
+        if args.n3:
+            if args.model not in ("distmult", "complex", "tucker",
+                                  "simple", "quate"):
+                raise SystemExit(
+                    f"--n3 is not supported for --model {args.model} "
+                    "(factorization models only: distmult, complex, "
+                    "tucker, simple, quate)"
+                )
             kw["n3"] = args.n3
         if args.model == "ermlp":
             kw["nhidden"] = args.nhidden

@@ -166,11 +166,17 @@ class Adam(Optimizer):
     eps: float = 1e-8
 
     def init(self, params) -> OptState:
+        # the step counter must never live in a low-precision param dtype:
+        # bf16 saturates at t + 1 == t after 256 touches, silently freezing
+        # the bias correction — keep it at >= fp32 (fp64 under x64 so the
+        # correction matches the param precision in parity tests)
         return {
             k: {
                 "m": jnp.zeros_like(v),
                 "v": jnp.zeros_like(v),
-                "t": jnp.zeros(v.shape[0], v.dtype),
+                "t": jnp.zeros(
+                    v.shape[0], jnp.promote_types(v.dtype, jnp.float32)
+                ),
             }
             for k, v in params.items()
         }

@@ -477,6 +477,7 @@ def _build_local_step(
         new_params = dict(params)
         new_opt = dict(state.opt_state)
         reg = model.regularization
+        reg3 = model.regularization_n3
         for pname, (idx, grads, counts) in occ.items():
             t = idx.shape[0]
             aug = jnp.concatenate(
@@ -587,6 +588,10 @@ def _build_local_step(
             )
             if reg != 0.0 and pname in model.reg_row_params:
                 gavg = gavg + reg * new_params[pname]
+            if reg3 != 0.0 and pname in model.reg_row_params:
+                gavg = gavg + (3.0 * reg3) * model.n3_grad_rows(
+                    pname, new_params[pname]
+                )
             dg = DenseGrads(grads=gavg, count=count)
             new_params[pname], new_opt[pname] = opt.apply_dense_masked(
                 new_params[pname], new_opt[pname], dg,

@@ -196,6 +196,7 @@ def make_shardmap_pairwise_step(
         new_params = dict(params)
         new_opt = dict(state.opt_state)
         reg = model.regularization
+        reg3 = model.regularization_n3
         for pname, (idx, grads, counts) in occ.items():
             if pname in local_rows:
                 srows = local_rows[pname]
@@ -219,6 +220,10 @@ def make_shardmap_pairwise_step(
             )
             if reg != 0.0 and pname in model.reg_row_params:
                 gavg = gavg + reg * new_params[pname]
+            if reg3 != 0.0 and pname in model.reg_row_params:
+                gavg = gavg + (3.0 * reg3) * model.n3_grad_rows(
+                    pname, new_params[pname]
+                )
             dg = DenseGrads(grads=gavg, count=count)
             new_params[pname], new_opt[pname] = opt.apply_dense_masked(
                 new_params[pname], new_opt[pname], dg,
@@ -422,12 +427,17 @@ def make_shardmap_ce_step(
             g_tables[pname] = jax.lax.psum(g_dense[pname] / m_sz, MODEL_AXIS)
 
         reg = model.regularization
+        reg3 = model.regularization_n3
         new_params = dict(params)
         new_opt = dict(state.opt_state)
         for pname, g in g_tables.items():
             g = jax.lax.psum(g, DATA_AXIS) / denom
             if reg != 0.0 and pname in model.reg_row_params:
                 g = g + reg * new_params[pname]
+            if reg3 != 0.0 and pname in model.reg_row_params:
+                g = g + (3.0 * reg3) * model.n3_grad_rows(
+                    pname, new_params[pname]
+                )
             new_params[pname], new_opt[pname] = opt.apply_full(
                 new_params[pname], new_opt[pname], g
             )

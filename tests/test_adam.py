@@ -214,3 +214,16 @@ def test_adam_out_of_core_p1_matches_incore():
     np.testing.assert_array_equal(
         ooc_e[: ds.n_entities], np.asarray(state.params["E"])
     )
+
+
+def test_t_counter_stays_high_precision_for_bf16_params():
+    """Regression: a bf16 counter saturates at t+1==t after 256 touches,
+    silently freezing bias correction — t must be >= fp32 regardless of
+    the parameter dtype."""
+    model = TransE(10, 2, 4, dtype="bfloat16")
+    opt = Adam(lr=0.01)
+    state = opt.init(model.init_params(jax.random.PRNGKey(0)))
+    assert state["E"]["t"].dtype == jnp.float32
+    assert state["E"]["m"].dtype == jnp.bfloat16  # moments track the param
+    t = jnp.float32(256.0)
+    assert float(t + 1.0) == 257.0  # what bf16 would get wrong

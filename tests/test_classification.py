@@ -89,3 +89,39 @@ def test_end_to_end_accuracy_on_trained_model():
     fresh = init_state(model, opt, jax.random.PRNGKey(9)).params
     base = triple_classification(model, fresh, ds.valid, v_neg, ds.test, t_neg)
     assert base["accuracy"] < out["accuracy"] - 0.1
+
+
+def test_best_threshold_skips_unrealizable_tied_cuts():
+    """Regression: the cut between two EQUAL scores is unrealizable (the
+    midpoint equals the scores; `>=` flips the lower item) — the returned
+    threshold's realized accuracy must match what the search counted."""
+    s = np.array([1.0, 1.0])
+    y = np.array([-1.0, 1.0])
+    tau = _best_threshold(s, y)
+    realized = np.mean(np.where(s >= tau, 1.0, -1.0) == y)
+    assert realized == 0.5  # no threshold separates equal scores
+    assert tau in (-np.inf, np.inf)
+    # and generally: realized accuracy == brute-force max over REAL taus
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        s = rng.integers(0, 4, 20).astype(float)  # heavy ties
+        y = np.where(rng.random(20) < 0.5, 1.0, -1.0)
+        tau = _best_threshold(s, y)
+        realized = np.mean(np.where(s >= tau, 1.0, -1.0) == y)
+        cands = np.concatenate([[-np.inf, np.inf], np.unique(s)])
+        best = max(np.mean(np.where(s >= t, 1.0, -1.0) == y) for t in cands)
+        assert realized == best
+
+
+def test_classification_negatives_raises_on_exhaustion():
+    """Regression: a near-universal relation must fail loudly instead of
+    returning known-true triples as 'negatives'."""
+    import pytest
+
+    n_e = 3
+    s, o = np.meshgrid(np.arange(n_e), np.arange(n_e))
+    known = np.stack(
+        [s.ravel(), o.ravel(), np.zeros(n_e * n_e, int)], axis=1
+    ).astype(np.int32)  # EVERY possible triple of relation 0 is true
+    with pytest.raises(ValueError, match="collide"):
+        classification_negatives(known[:4], n_e, known, seed=0, ntries=5)

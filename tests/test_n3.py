@@ -154,3 +154,96 @@ def test_complex_n3_is_rotation_invariant():
     np.testing.assert_allclose(
         g, np.concatenate([m1 * ar, m1 * br], axis=-1), rtol=1e-12
     )
+
+
+def _sgd_delta_touched(params, with_n3, without, cls):
+    """Assert (with_n3 - without) == -lr*3*n3*w(x) on touched rows, 0 off.
+    Touched = rows changed by either run (an n3-only change still marks a
+    touched row)."""
+    for pname in params:
+        p0 = np.asarray(params[pname])
+        a = np.asarray(with_n3[pname])
+        b = np.asarray(without[pname])
+        touched = (np.abs(a - p0).max(axis=tuple(range(1, p0.ndim))) > 0) | (
+            np.abs(b - p0).max(axis=tuple(range(1, p0.ndim))) > 0
+        )
+        expect = np.where(
+            touched.reshape((-1,) + (1,) * (p0.ndim - 1)),
+            -LR * 3.0 * N3 * np_n3_rows(cls, p0), 0.0,
+        )
+        np.testing.assert_allclose(a - b, expect, rtol=1e-11, atol=1e-13)
+        assert touched.any()
+
+
+def test_n3_applied_on_shardmap_path():
+    """Regression: the explicit-SPMD (shard_map) step must apply n3 like
+    the single-device path (it silently dropped it before)."""
+    from skge_tpu.parallel.mesh import make_mesh
+    from skge_tpu.parallel.shardmap_step import (
+        make_shardmap_pairwise_step, shard_state_shardmap,
+    )
+    from skge_tpu import SGD, init_state
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs virtual devices")
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    pos = batch()
+    mask = jnp.ones(B, jnp.float64)
+
+    def run(n3):
+        model = DistMult(N_E, N_R, D, dtype="float64", n3=n3)
+        from skge_tpu import SharedNegativeSampler
+
+        sampler = SharedNegativeSampler(N_E, k=K)
+        step = make_shardmap_pairwise_step(model, SGD(lr=LR), sampler, 0.7, mesh)
+        st = shard_state_shardmap(
+            init_state(model, SGD(lr=LR), jax.random.PRNGKey(0)), model, mesh
+        )
+        params0 = {k: np.asarray(v) for k, v in st.params.items()}
+        st, _ = step(st, jnp.asarray(pos), mask)
+        return params0, {k: np.asarray(v) for k, v in st.params.items()}
+
+    params, with_n3 = run(N3)
+    _, without = run(0.0)
+    _sgd_delta_touched(params, with_n3, without, DistMult)
+
+
+def test_n3_applied_on_partitioned_path():
+    """Regression: the partitioned SPMD step must apply n3 too."""
+    from skge_tpu.data import partition_edges, synthetic_kg
+    from skge_tpu.parallel.partitioned import (
+        make_partitioned_pairwise_step, make_shard_mesh,
+        shard_state_partitioned,
+    )
+    from skge_tpu import SGD, SharedNegativeSampler, init_state
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs virtual devices")
+    P_ = 4
+    n_pad = 64
+    s = n_pad // P_
+    ds = synthetic_kg(n_pad, N_R, n_train=200, seed=3)
+    owner = (np.arange(n_pad) // s).astype(np.int32)
+    batches, pmask, _ = partition_edges(ds.train, owner, P_)
+    mesh = make_shard_mesh(jax.devices()[:P_])
+
+    def run(n3):
+        model = DistMult(n_pad, N_R, D, dtype="float64", n3=n3)
+        sampler = SharedNegativeSampler(n_pad, k=K)
+        step = make_partitioned_pairwise_step(
+            model, SGD(lr=LR), sampler, 0.7, mesh
+        )
+        st = shard_state_partitioned(
+            init_state(model, SGD(lr=LR), jax.random.PRNGKey(0)), model, mesh
+        )
+        params0 = {k: np.asarray(v) for k, v in st.params.items()}
+        st, _ = step(
+            st, jnp.asarray(batches), jnp.asarray(pmask, jnp.float64)
+        )
+        return params0, {k: np.asarray(v) for k, v in st.params.items()}
+
+    params, with_n3 = run(N3)
+    _, without = run(0.0)
+    _sgd_delta_touched(params, with_n3, without, DistMult)
