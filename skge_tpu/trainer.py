@@ -57,6 +57,10 @@ class TrainConfig:
     ce_directions: tuple = ("o", "s")
     optimizer: str = "adagrad"
     aggregate: str = "unique"
+    # mesh runs only: row-shard relation tables over 'model' too (pairwise
+    # shard_map step; see parallel/shardmap_step.py) — the large-n_r /
+    # wide-relation (RESCAL/TransR) memory mode
+    shard_relations: bool = False
     seed: int = 0
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 0  # epochs; 0 = only on completion if path set
@@ -164,7 +168,8 @@ class Trainer:
             )
         elif cfg.pairwise:
             step = make_shardmap_pairwise_step(
-                self.model, self.opt, self.sampler, cfg.margin, self.mesh
+                self.model, self.opt, self.sampler, cfg.margin, self.mesh,
+                shard_relations=cfg.shard_relations,
             )
         else:
             step = make_sharded_pointwise_step(
@@ -191,7 +196,13 @@ class Trainer:
             if self.config.pairwise or self.config.loss == "ce":
                 from skge_tpu.parallel.shardmap_step import shard_state_shardmap
 
-                state = shard_state_shardmap(state, self.model, self.mesh)
+                state = shard_state_shardmap(
+                    state, self.model, self.mesh,
+                    shard_relations=(
+                        self.config.pairwise and self.config.loss != "ce"
+                        and self.config.shard_relations
+                    ),
+                )
             else:
                 from skge_tpu.parallel.mesh import shard_state
 

@@ -81,3 +81,33 @@ def test_mesh_trainer_pointwise_matches_single_device():
             rtol=1e-12, atol=1e-13,
             err_msg=f"{k}: pointwise mesh trajectory diverged",
         )
+
+
+def test_trainer_mesh_shard_relations_matches_default():
+    """TrainConfig(shard_relations=True) on a RESCAL mesh run reproduces the
+    replicated-relation trajectory exactly (and actually shards W)."""
+    from skge_tpu import RESCAL
+    from skge_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(n_entities=48, n_relations=4, n_train=200, seed=3)
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+
+    def run(flag):
+        model = RESCAL(ds.n_entities, ds.n_relations, 8, dtype="float64")
+        cfg = TrainConfig(max_epochs=3, nbatches=4, learning_rate=0.1,
+                          margin=0.7, seed=0, shard_relations=flag)
+        tr = Trainer(model, SharedNegativeSampler(ds.n_entities, k=8),
+                     cfg, mesh=mesh)
+        tr.fit(ds.train)
+        if flag:
+            rows = {s.data.shape[0] for s in
+                    tr.state.params["W"].addressable_shards}
+            assert rows == {ds.n_relations // 2}
+        return {k: np.asarray(v) for k, v in tr.state.params.items()}
+
+    a = run(True)
+    b = run(False)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-12, atol=1e-14)
