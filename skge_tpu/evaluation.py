@@ -92,6 +92,28 @@ class RankingResult:
             out[int(p)] = self._metrics(self.ranks[:, sel], hits_at)
         return out
 
+    def by_category(
+        self, categories: Dict[int, str], hits_at=(1, 3, 10)
+    ) -> Dict[str, Dict[str, Dict[str, float]]]:
+        """Filtered metrics per relation CATEGORY and direction — the
+        TransE-paper 1-1 / 1-N / N-1 / N-N reporting (`categories` from
+        `relation_categories`). Returns
+        {category: {'object': metrics, 'subject': metrics}} — the split
+        where N-side predictions are expected to be much harder."""
+        if self.test is None:
+            raise ValueError("category breakdown needs the test triples")
+        cats = np.array(
+            [categories.get(int(p), "N-N") for p in self.test[:, 2]]
+        )
+        out: Dict[str, Dict[str, Dict[str, float]]] = {}
+        for c in sorted(set(cats.tolist())):
+            sel = cats == c
+            out[c] = {
+                "object": self._metrics(self.ranks[0, sel], hits_at),
+                "subject": self._metrics(self.ranks[1, sel], hits_at),
+            }
+        return out
+
 
 def ranking_scores(
     ranks: np.ndarray, hits_at: Sequence[int] = (1, 3, 10)
@@ -302,6 +324,28 @@ def evaluate(
         known = test
     ev = FilteredRankingEval(model, test, known, batch_size, hits_at)
     return ev(params)
+
+
+def relation_categories(
+    triples: np.ndarray, threshold: float = 1.5
+) -> Dict[int, str]:
+    """TransE-paper (Bordes et al. 2013 §4) relation typing from data:
+    for each relation, hpt = mean heads per (tail, rel) and tph = mean
+    tails per (head, rel); a side is 'N' when its mean multiplicity
+    exceeds `threshold` (the paper's 1.5). Returns {relation_id:
+    '1-1' | '1-N' | 'N-1' | 'N-N'} — feed to `RankingResult.by_category`.
+    Compute over TRAIN triples (the paper's convention)."""
+    t = np.asarray(triples)
+    out: Dict[int, str] = {}
+    for p in np.unique(t[:, 2]):
+        tp = t[t[:, 2] == p]
+        tph = len(tp) / max(1, len(np.unique(tp[:, 0])))  # tails per head
+        hpt = len(tp) / max(1, len(np.unique(tp[:, 1])))  # heads per tail
+        out[int(p)] = (
+            f"{'N' if hpt > threshold else '1'}-"
+            f"{'N' if tph > threshold else '1'}"
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -181,3 +181,36 @@ def test_breakdowns_partition_the_pooled_metrics():
         np.testing.assert_allclose(
             m["mean_rank"], float(np.mean(res.ranks[:, sel])), rtol=1e-12
         )
+
+
+def test_relation_categories_and_by_category():
+    """1-1/1-N/N-1/N-N typing from constructed multiplicities, and the
+    category breakdown partitioning the per-direction rank arrays."""
+    from skge_tpu.evaluation import relation_categories
+
+    # relation 0: bijection (1-1); relation 1: one head, many tails (1-N);
+    # relation 2: many heads, one tail (N-1); relation 3: all-pairs (N-N)
+    r0 = np.stack([np.arange(6), np.arange(6) + 6, np.zeros(6, int)], axis=1)
+    r1 = np.stack([np.zeros(6, int), np.arange(6) + 6, np.full(6, 1)], axis=1)
+    r2 = np.stack([np.arange(6), np.full(6, 12), np.full(6, 2)], axis=1)
+    hh, tt = np.meshgrid(np.arange(4), np.arange(4) + 8)
+    r3 = np.stack([hh.ravel(), tt.ravel(), np.full(16, 3)], axis=1)
+    train = np.concatenate([r0, r1, r2, r3]).astype(np.int32)
+    cats = relation_categories(train)
+    assert cats == {0: "1-1", 1: "1-N", 2: "N-1", 3: "N-N"}
+
+    model, params = build(TransE, l1=False)
+    ds = synthetic_kg(N_E, N_R, n_train=150, n_test=40, seed=6)
+    ev = FilteredRankingEval(model, ds.test, ds.all_triples(), batch_size=16)
+    res = ev(params)
+    cats = relation_categories(ds.train)
+    by_cat = res.by_category(cats)
+    total = sum(v["object"]["n"] for v in by_cat.values())
+    assert total == len(ds.test)
+    # reassemble pooled MRR from the category x direction cells
+    cells = [
+        (v[d]["mrr"], v[d]["n"]) for v in by_cat.values()
+        for d in ("object", "subject")
+    ]
+    pooled = sum(m * n for m, n in cells) / sum(n for _, n in cells)
+    np.testing.assert_allclose(pooled, res.mrr, rtol=1e-12)
