@@ -17,6 +17,7 @@ from skge_tpu.parallel.sharded import (
 )
 from skge_tpu.parallel.shardmap_step import (
     make_shardmap_pairwise_step,
+    make_shardmap_selfadv_step,
     shard_state_shardmap,
 )
 from skge_tpu.parallel.partitioned import (
@@ -57,5 +58,6 @@ __all__ = [
     "make_sharded_pointwise_step",
     "make_sharded_score_all_o",
     "make_shardmap_pairwise_step",
+    "make_shardmap_selfadv_step",
     "shard_state_shardmap",
 ]

@@ -115,11 +115,6 @@ class Trainer:
         if cfg.loss not in ("margin", "selfadv", "ce"):
             raise ValueError(f"unknown loss {cfg.loss!r}")
         if self.mesh is not None:
-            if cfg.loss == "selfadv":
-                raise NotImplementedError(
-                    "selfadv loss on a mesh: use the single-device trainer "
-                    "or make_selfadv_step inside your own shard_map"
-                )
             self._epoch_fn = self._build_mesh_epoch(n_triples)
             return
         if cfg.loss == "ce":
@@ -166,6 +161,15 @@ class Trainer:
                 self.model, self.opt, self.mesh,
                 tuple(cfg.ce_directions), cfg.label_smoothing,
             )
+        elif cfg.loss == "selfadv":
+            from skge_tpu.parallel.shardmap_step import (
+                make_shardmap_selfadv_step,
+            )
+
+            step = make_shardmap_selfadv_step(
+                self.model, self.opt, self.sampler, cfg.margin, self.mesh,
+                alpha=cfg.adv_alpha, shard_relations=cfg.shard_relations,
+            )
         elif cfg.pairwise:
             step = make_shardmap_pairwise_step(
                 self.model, self.opt, self.sampler, cfg.margin, self.mesh,
@@ -193,14 +197,16 @@ class Trainer:
                 self.model, self.opt, jax.random.PRNGKey(self.config.seed)
             )
         if self.mesh is not None:
-            if self.config.pairwise or self.config.loss == "ce":
+            cfg = self.config
+            if cfg.loss in ("ce", "selfadv") or cfg.pairwise:
                 from skge_tpu.parallel.shardmap_step import shard_state_shardmap
 
                 state = shard_state_shardmap(
                     state, self.model, self.mesh,
+                    # relation sharding exists on the pairwise/selfadv
+                    # shard_map steps (not the vocab-parallel CE step)
                     shard_relations=(
-                        self.config.pairwise and self.config.loss != "ce"
-                        and self.config.shard_relations
+                        cfg.loss != "ce" and cfg.shard_relations
                     ),
                 )
             else:

@@ -261,3 +261,59 @@ def test_shard_relations_rejects_indivisible_relation_count():
         make_shardmap_pairwise_step(
             model, AdaGrad(), sampler, 0.5, mesh, shard_relations=True
         )
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (4, 2), (2, 4)])
+def test_shardmap_selfadv_matches_single_device(mesh_shape):
+    """The explicit-SPMD self-adversarial step reproduces the single-device
+    make_selfadv_step trajectory exactly (fp64), incl. the element-count
+    recombination of dense-param gradient means (ER-MLP's W/C)."""
+    from skge_tpu import init_state
+    from skge_tpu.parallel.shardmap_step import make_shardmap_selfadv_step
+    from skge_tpu.training import make_selfadv_step
+
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs 8 virtual devices")
+    batch = make_batch(13)
+    mask = jnp.ones(B, jnp.float64)
+    rng = np.random.default_rng(14)
+    pool = jnp.asarray(rng.integers(0, N_E, 9), jnp.int32)
+
+    class Pool:
+        modes = (0, 1)
+        k = 9
+
+        def pool(self, key, pos, m):
+            return pool
+
+    for case in ("transe", "ermlp"):
+        model = make_model(case)
+        opt = AdaGrad(lr=0.1)
+        ref_step = make_selfadv_step(
+            model, opt, Pool(), margin=1.0, alpha=1.0, aggregate="dense"
+        )
+        ref = init_state(model, opt, jax.random.PRNGKey(4))
+        for _ in range(3):
+            ref, rm = jax.jit(ref_step)(ref, batch, mask)
+
+        mesh = make_mesh(jax.devices()[:n_dev], shape=mesh_shape)
+        step = make_shardmap_selfadv_step(
+            model, opt, Pool(), margin=1.0, mesh=mesh, alpha=1.0
+        )
+        state = shard_state_shardmap(
+            init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+        )
+        for _ in range(3):
+            state, m = step(state, batch, mask)
+        np.testing.assert_allclose(
+            float(m.loss), float(rm.loss), rtol=1e-12,
+            err_msg=f"{case}/{mesh_shape} loss",
+        )
+        for pname in ref.params:
+            np.testing.assert_allclose(
+                np.asarray(state.params[pname]),
+                np.asarray(ref.params[pname]),
+                rtol=1e-10, atol=1e-13,
+                err_msg=f"{case}/{mesh_shape}/{pname}",
+            )
