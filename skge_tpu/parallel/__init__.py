@@ -27,6 +27,7 @@ from skge_tpu.parallel.partitioned import (
     init_state_partitioned,
     make_partitioned_epoch,
     make_partitioned_pairwise_step,
+    make_partitioned_selfadv_step,
     make_shard_mesh,
     object_boundary_cap,
     relabel_entities,
@@ -42,6 +43,7 @@ __all__ = [
     "RelabeledPoolSampler",
     "make_partitioned_epoch",
     "make_partitioned_pairwise_step",
+    "make_partitioned_selfadv_step",
     "make_shard_mesh",
     "object_boundary_cap",
     "relabel_entities",

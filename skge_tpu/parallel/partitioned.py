@@ -62,6 +62,7 @@ from skge_tpu.training import (
     TrainState,
     pairwise_grads_fused,
     pairwise_grads_shared,
+    selfadv_grads_shared,
 )
 
 SHARD_AXIS = "shard"
@@ -264,6 +265,52 @@ def make_partitioned_pairwise_step(
     return jax.jit(smapped, donate_argnums=(0,))
 
 
+def make_partitioned_selfadv_step(
+    model: KGEModel,
+    opt: Optimizer,
+    sampler: Callable,
+    margin: float,
+    mesh: Mesh,
+    alpha: float = 1.0,
+    boundary_cap: int | None = None,
+    overlap: bool = True,
+    ragged=False,
+    debug_checks: bool = False,
+):
+    """Partition-aligned SELF-ADVERSARIAL step (Sun et al. 2019): the
+    strongest measured loss (RESULTS.md) on the billion-row path. Same
+    inputs, exchange machinery (incl. `boundary_cap` compaction, overlap,
+    ragged routing) and collective structure as
+    `make_partitioned_pairwise_step`; only the per-pair loss and the
+    dense-gradient normalization (scored elements instead of violations)
+    differ. Requires a `pool`-protocol sampler."""
+    if not hasattr(sampler, "pool"):
+        raise ValueError(
+            "make_partitioned_selfadv_step needs a shared-pool sampler"
+        )
+    epname, s_rows, shared, state_spec = _prep(
+        model, opt, mesh, sampler, boundary_cap
+    )
+    if ragged and boundary_cap is None:
+        raise ValueError("ragged exchange requires boundary_cap")
+    local_step = _build_local_step(
+        model, opt, sampler, margin, epname, s_rows, shared, boundary_cap,
+        overlap, ragged, debug_checks, loss_kind="selfadv", alpha=alpha,
+    )
+
+    def block_step(state: TrainState, batch, mask):
+        return local_step(state, batch[0], mask[0])
+
+    smapped = jax.shard_map(
+        block_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
+        out_specs=(state_spec, StepMetrics(loss=P(), nviolations=P())),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
 def partitioned_state_specs(model, opt):
     """(epname, per-param PartitionSpecs, TrainState-of-PartitionSpecs)
     for the partitioned placement: entity table row-sharded over 'shard',
@@ -310,6 +357,7 @@ def _prep(model, opt, mesh, sampler, boundary_cap):
 def _build_local_step(
     model, opt, sampler, margin, epname, s_rows, shared, boundary_cap,
     overlap=True, ragged=False, debug_checks=False,
+    loss_kind="margin", alpha=1.0,
 ):
     """Per-shard step body: (state, (L, 3) batch, (L,) mask) -> updated
     state + globally-psum'd metrics. Runs inside shard_map."""
@@ -460,19 +508,39 @@ def _build_local_step(
                     return gather_compact(idx)
                 return gather(pname, idx, role)
 
-            loss, nviol, occ, g_dense = pairwise_grads_shared(
-                model, params, batch, pool_idx, mask, margin,
-                modes=sampler.modes, gather=g,
-            )
+            if loss_kind == "selfadv":
+                loss, occ, g_dense = selfadv_grads_shared(
+                    model, params, batch, pool_idx, mask, margin, alpha,
+                    modes=sampler.modes, gather=g,
+                )
+                nviol = jnp.zeros((), loss.dtype)
+                # selfadv dense grads are means over scored ELEMENTS
+                dnorm_local = jnp.maximum(
+                    jnp.sum(mask)
+                    * (1.0 + pool_idx.shape[0] * len(sampler.modes)),
+                    1.0,
+                )
+            else:
+                loss, nviol, occ, g_dense = pairwise_grads_shared(
+                    model, params, batch, pool_idx, mask, margin,
+                    modes=sampler.modes, gather=g,
+                )
+                dnorm_local = None
         else:
             corr = sampler.corruptions(dk, batch, mask)
             loss, nviol, occ, g_dense = pairwise_grads_fused(
                 model, params, batch, corr, mask, margin, gather=gather
             )
+            dnorm_local = None
 
         loss = jax.lax.psum(loss, SHARD_AXIS)
         nviol_local = nviol
         nviol = jax.lax.psum(nviol, SHARD_AXIS)
+        if dnorm_local is None:  # margin losses normalize by violations
+            dnorm_local = jnp.maximum(nviol_local, 1.0)
+            dnorm_global = jnp.maximum(nviol, 1.0)
+        else:
+            dnorm_global = jax.lax.psum(dnorm_local, SHARD_AXIS)
 
         new_params = dict(params)
         new_opt = dict(state.opt_state)
@@ -598,12 +666,9 @@ def _build_local_step(
                 model.post_constraints.get(pname),
             )
         for pname, g_d in g_dense.items():
-            gsum = jax.lax.psum(
-                g_d * jnp.maximum(nviol_local, 1.0), SHARD_AXIS
-            )
+            gsum = jax.lax.psum(g_d * dnorm_local, SHARD_AXIS)
             new_params[pname], new_opt[pname] = opt.apply_full(
-                new_params[pname], new_opt[pname],
-                gsum / jnp.maximum(nviol, 1.0),
+                new_params[pname], new_opt[pname], gsum / dnorm_global
             )
         new_state = TrainState(new_params, new_opt, key, state.step + 1)
         return new_state, StepMetrics(loss=loss, nviolations=nviol)
@@ -623,6 +688,8 @@ def make_partitioned_epoch(
     overlap: bool = True,
     ragged=False,
     debug_checks: bool = False,
+    loss: str = "margin",
+    adv_alpha: float = 1.0,
 ):
     """Jitted epoch over partitioned batches: per-shard on-device shuffle
     + minibatch scan of the partitioned step (the `make_epoch_fn`
@@ -649,9 +716,11 @@ def make_partitioned_epoch(
     cap = None if boundary_cap is None else min(boundary_cap, batch_size)
     if ragged and cap is None:
         raise ValueError("ragged exchange requires boundary_cap")
+    if loss not in ("margin", "selfadv"):
+        raise ValueError(f"unknown partitioned loss {loss!r}")
     local_step = _build_local_step(
         model, opt, sampler, margin, epname, s_rows, shared, cap, overlap,
-        ragged, debug_checks,
+        ragged, debug_checks, loss_kind=loss, alpha=adv_alpha,
     )
 
     def local_epoch(state: TrainState, batch, mask):
@@ -796,6 +865,8 @@ class PartitionedTrainer:
         nbatches: int = 100,
         seed: int = 0,
         ragged=False,
+        loss: str = "margin",
+        adv_alpha: float = 1.0,
     ):
         from dataclasses import replace
 
@@ -821,7 +892,7 @@ class PartitionedTrainer:
         self._epoch = make_partitioned_epoch(
             self.model, opt, sampler, margin, mesh,
             length=length, nbatches=max(1, min(nbatches, length)),
-            boundary_cap=cap, ragged=ragged,
+            boundary_cap=cap, ragged=ragged, loss=loss, adv_alpha=adv_alpha,
         )
         self._mesh = mesh
         self._state = init_state_partitioned(

@@ -527,3 +527,82 @@ def test_partitioned_step_with_adam_matches_single_device():
         np.asarray(state.opt_state["E"]["t"]),
         np.asarray(ref.opt_state["E"]["t"]),
     )
+
+
+def test_partitioned_selfadv_matches_single_device():
+    """Partitioned self-adversarial step (plain AND compacted boundary_cap)
+    reproduces the single-device make_selfadv_step trajectory in fp64."""
+    from skge_tpu.parallel.partitioned import (
+        make_partitioned_selfadv_step, object_boundary_cap,
+    )
+    from skge_tpu.training import make_selfadv_step
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(61, 5, n_train=400, seed=9, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    batches, mask, _ = partition_edges(rel, _range_part(n_pad, s), P_PARTS)
+    batches = jnp.asarray(batches)
+    mask = jnp.asarray(mask, jnp.float64)
+    model = TransE(n_pad, ds.n_relations, 16, dtype="float64", l1=False)
+    opt = AdaGrad(lr=0.1)
+    rng = np.random.default_rng(17)
+    pool = jnp.asarray(rng.integers(0, n_pad, 7), jnp.int32)
+
+    class Pool:
+        modes = (0, 1)
+        k = 7
+
+        def pool(self, key, pos, m):
+            return pool
+
+    flat_batch = batches.reshape(-1, 3)
+    flat_mask = mask.reshape(-1)
+    ref_step = make_selfadv_step(
+        model, opt, Pool(), margin=2.0, alpha=1.0, aggregate="dense"
+    )
+    ref = init_state(model, opt, jax.random.PRNGKey(4))
+    for _ in range(3):
+        ref, rm = jax.jit(ref_step)(ref, flat_batch, flat_mask)
+
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    cap = max(1, object_boundary_cap(np.asarray(batches), s))
+    for kwargs in ({}, {"boundary_cap": cap}):
+        step = make_partitioned_selfadv_step(
+            model, opt, Pool(), margin=2.0, mesh=mesh, alpha=1.0, **kwargs
+        )
+        state = shard_state_partitioned(
+            init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+        )
+        for _ in range(3):
+            state, m = step(state, batches, mask)
+        np.testing.assert_allclose(
+            float(m.loss), float(rm.loss), rtol=1e-12, err_msg=str(kwargs)
+        )
+        for k in ref.params:
+            np.testing.assert_allclose(
+                np.asarray(state.params[k]), np.asarray(ref.params[k]),
+                rtol=1e-10, atol=1e-13, err_msg=f"{kwargs} {k}",
+            )
+
+
+def test_partitioned_trainer_selfadv_runs():
+    """PartitionedTrainer(loss='selfadv') trains (loss drops) through the
+    epoch driver with the compacted exchange."""
+    from skge_tpu import AdaGrad as _Ada, PartitionedTrainer
+    from skge_tpu.data import latent_kg
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = latent_kg(n_entities=200, n_relations=5, n_train=800, n_valid=0,
+                   n_test=30, latent_dim=6, seed=2)
+    model = TransE(ds.n_entities, ds.n_relations, 12, l1=False)
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    tr = PartitionedTrainer(
+        model, _Ada(lr=0.3), ds.train, mesh, margin=2.0, k=32, nbatches=8,
+        seed=0, loss="selfadv",
+    ).fit(epochs=15)
+    losses = [m["loss"] for m in tr.metrics]
+    assert losses[-1] < losses[0] * 0.7
