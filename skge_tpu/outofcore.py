@@ -155,6 +155,8 @@ class OutOfCoreTrainer:
         cache_parts: int = 2,
         pairwise: bool = True,
         prefetch: bool = True,
+        loss: str = "margin",
+        adv_alpha: float = 1.0,
     ):
         """`pairwise=False` trains with the pointwise logistic loss
         (StochasticTrainer semantics, skge/base.py ~180) over the same
@@ -169,6 +171,10 @@ class OutOfCoreTrainer:
         self.margin = margin
         self.aggregate = aggregate
         self.pairwise = pairwise
+        if loss not in ("margin", "selfadv"):
+            raise ValueError(f"unknown out-of-core loss {loss!r}")
+        self.loss = loss
+        self.adv_alpha = adv_alpha
         self.prefetch = prefetch
         t = np.asarray(triples, np.int32)
 
@@ -280,7 +286,14 @@ class OutOfCoreTrainer:
             sampler = BucketPoolSampler(
                 slot_stride=0 if diag else self.part_size, k=self.k
             )
-            if self.pairwise:
+            if self.loss == "selfadv":
+                from skge_tpu.training import make_selfadv_step
+
+                step = make_selfadv_step(
+                    bucket_model, self.opt, sampler, self.margin,
+                    self.adv_alpha, self.aggregate,
+                )
+            elif self.pairwise:
                 step = make_pairwise_step(
                     bucket_model, self.opt, sampler, self.margin,
                     aggregate=self.aggregate,

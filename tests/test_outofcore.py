@@ -258,3 +258,40 @@ def test_streamed_eval_matches_incore_eval():
             got.ranks_raw, want.ranks_raw, err_msg=ties
         )
         assert got.mrr == want.mrr
+
+
+def test_selfadv_single_part_matches_incore():
+    """OOC loss='selfadv' at P=1 matches the in-core make_selfadv_step
+    trajectory (completing the loss x distribution matrix: selfadv now
+    runs on single-device, mesh, partitioned and out-of-core paths).
+    fp64 + allclose rather than bitwise: the softmax/logaddexp reductions
+    fuse differently between the bucket and plain epoch programs (ulp
+    reorder), unlike the margin path's elementwise math."""
+    from skge_tpu.training import make_selfadv_step
+
+    ds = synthetic_kg(n_entities=80, n_relations=5, n_train=600, seed=5)
+    model = TransE(ds.n_entities, ds.n_relations, 16, l1=False,
+                   dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    k, nb, margin, epochs = 32, 10, 2.0, 3
+
+    ooc = OutOfCoreTrainer(
+        model, opt, ds.train, n_parts=1, margin=margin, k=k, nbatches=nb,
+        seed=0, loss="selfadv",
+    ).fit(epochs=epochs)
+
+    sampler = SharedNegativeSampler(ds.n_entities, k=k)
+    step = make_selfadv_step(model, opt, sampler, margin, 1.0, "dense")
+    epoch = jax.jit(make_epoch_fn(step, ds.train.shape[0], nb))
+    state = init_state(model, opt, jax.random.PRNGKey(0))
+    xs = jnp.asarray(ds.train)
+    for _ in range(epochs):
+        state, m = epoch(state, xs)
+
+    got = ooc.params()
+    np.testing.assert_allclose(
+        got["E"], np.asarray(state.params["E"]), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        got["R"], np.asarray(state.params["R"]), rtol=1e-9, atol=1e-12
+    )
