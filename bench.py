@@ -81,6 +81,12 @@ def main() -> None:
         "(no sampler; every positive scored against ALL entities — work "
         "units = n_entities per positive per direction)",
     )
+    ap.add_argument(
+        "--selfadv", action="store_true",
+        help="self-adversarial loss (Sun et al. 2019) over the shared pool "
+        "instead of pairwise margin (same work units: 2 scores per "
+        "(positive, pool, mode) element)",
+    )
     args = ap.parse_args()
     if args.negatives < 1:
         ap.error("--negatives must be >= 1")
@@ -126,13 +132,21 @@ def main() -> None:
         # CE scores every positive against ALL entities per direction;
         # work units = reference-equivalent candidate scorings
         pairs_per_positive = len(directions) * ds.n_entities
+    elif args.selfadv:
+        from skge_tpu import make_selfadv_step
+
+        sampler = SharedNegativeSampler(ds.n_entities, k=args.k, modes=modes)
+        step = make_selfadv_step(
+            model, opt, sampler, margin=1.0, alpha=1.0, aggregate="dense"
+        )
+        pairs_per_positive = len(modes) * args.k
     elif args.sampler == "shared":
         sampler = SharedNegativeSampler(ds.n_entities, k=args.k, modes=modes)
         pairs_per_positive = len(modes) * args.k
     else:
         sampler = RandomModeSampler(ds.n_entities, modes=modes * args.negatives)
         pairs_per_positive = len(modes) * args.negatives
-    if not args.ce:
+    if not args.ce and not args.selfadv:
         step = make_pairwise_step(
             model, opt, sampler, margin=1.0, aggregate=args.aggregate
         )
@@ -166,7 +180,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    f"{args.model}{'_ce' if args.ce else ''}"
+                    f"{args.model}"
+                    f"{'_ce' if args.ce else ''}"
+                    f"{'_selfadv' if args.selfadv else ''}"
                     "_fb15k_scored_triples_per_s_per_chip"
                 ),
                 "value": round(value, 1),
