@@ -46,8 +46,17 @@ def main() -> None:
     )
     ap.add_argument("--negatives", type=int, default=2,
                     help="[random-mode] negatives per (positive, mode)")
+    ap.add_argument(
+        "--loss", default="margin", choices=["margin", "selfadv"],
+        help="'selfadv' = Sun et al. 2019 self-adversarial loss over the "
+        "shared pool (the strongest measured loss — RESULTS.md); uses the "
+        "per-model selfadv margins (gamma) with lr 0.3 and k 8192 unless "
+        "--k overrides",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.loss == "selfadv" and args.sampler != "shared":
+        ap.error("--loss selfadv needs the shared-pool sampler")
 
     import jax
 
@@ -115,6 +124,16 @@ def main() -> None:
         # reference operating point: iid corruption, margin 0.2, lr 0.1
         configs = [(n, m, 0.2, 0.1, None) for n, m, _, _, _ in configs
                    if n != "ConvE"]
+    if args.loss == "selfadv":
+        # per-family selfadv gammas measured in RESULTS.md ("selfadv sweep
+        # across families"); lr 0.3, k 8192 unless --k overrides
+        gammas = {"TransE-L1": 6.0, "TransE-L2": 3.0, "TransH": 3.0,
+                  "PairRE": 3.0, "HolE": 1.0}
+        configs = [
+            (n, m, gammas.get(n, 3.0), 0.3,
+             args.k if args.k != 1024 else 8192)
+            for n, m, _, _, _ in configs if n != "ConvE"
+        ]
     if args.models:
         want = {m.strip() for m in args.models.split(",")}
         configs = [c for c in configs if c[0] in want]
@@ -138,9 +157,17 @@ def main() -> None:
                 )
             else:
                 sampler = SharedNegativeSampler(ds.n_entities, k=k or args.k)
-            step = make_pairwise_step(
-                model, opt, sampler, margin=margin, aggregate="dense"
-            )
+            if args.loss == "selfadv":
+                from skge_tpu import make_selfadv_step
+
+                step = make_selfadv_step(
+                    model, opt, sampler, margin=margin, alpha=1.0,
+                    aggregate="dense",
+                )
+            else:
+                step = make_pairwise_step(
+                    model, opt, sampler, margin=margin, aggregate="dense"
+                )
             train_xs = xs
         epoch = jax.jit(
             make_epoch_fn(step, int(train_xs.shape[0]), args.nbatches),
@@ -168,6 +195,8 @@ def main() -> None:
                 f"iid x{args.negatives} m=0.2 lr=0.1"
                 if args.sampler == "random-mode" else f"k={k or args.k}"
             )
+            if args.loss == "selfadv":
+                tag = f"selfadv g={margin} {tag}"
             header = (
                 f"| {name} {tag} ep={args.epochs} | {row['mrr']} | "
                 f"{row['mrr_raw']} | {row['hits1']} | {row['hits3']} | "
