@@ -569,7 +569,8 @@ def test_partitioned_selfadv_matches_single_device():
 
     mesh = make_shard_mesh(jax.devices()[:P_PARTS])
     cap = max(1, object_boundary_cap(np.asarray(batches), s))
-    for kwargs in ({}, {"boundary_cap": cap}):
+    for kwargs in ({}, {"boundary_cap": cap},
+                   {"boundary_cap": cap, "ragged": "emulate"}):
         step = make_partitioned_selfadv_step(
             model, opt, Pool(), margin=2.0, mesh=mesh, alpha=1.0, **kwargs
         )
