@@ -116,8 +116,9 @@ def main() -> None:
         ("SimplE", SimplE(ds.n_entities, ds.n_relations, 75), 0.5, 0.3, 2048),
         ("QuatE", QuatE(ds.n_entities, ds.n_relations, 38), 0.5, 0.3, 2048),
         # ConvE runs its canonical scheme instead of the pairwise pool:
-        # reciprocal relations + object-direction 1-vs-all CE (ls=0.1)
-        ("ConvE", None, 0.0, 0.3, None),
+        # reciprocal relations + object-direction 1-vs-all CE (ls=0.1) +
+        # Adam (its paper optimizer — measured +36% over AdaGrad here)
+        ("ConvE", None, 0.0, 1e-3, None),
     ]
 
     if args.sampler == "random-mode":
@@ -139,18 +140,19 @@ def main() -> None:
         configs = [c for c in configs if c[0] in want]
     rows = []
     for name, model, margin, lr, k in configs:
-        opt = AdaGrad(lr=lr)
         if name == "ConvE":
-            from skge_tpu import make_ce_step
+            from skge_tpu import Adam, make_ce_step
             from skge_tpu.data import add_reciprocal_relations
             from skge_tpu.models import ConvE
 
+            opt = Adam(lr=lr)
             aug = add_reciprocal_relations(ds)
             model = ConvE(aug.n_entities, aug.n_relations, 150)
             step = make_ce_step(model, opt, directions=("o",),
                                 label_smoothing=0.1)
             train_xs = jnp.asarray(aug.train)
         else:
+            opt = AdaGrad(lr=lr)
             if args.sampler == "random-mode":
                 sampler = RandomModeSampler(
                     ds.n_entities, modes=(0, 1) * args.negatives
