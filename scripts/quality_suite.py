@@ -47,11 +47,14 @@ def main() -> None:
     ap.add_argument("--negatives", type=int, default=2,
                     help="[random-mode] negatives per (positive, mode)")
     ap.add_argument(
-        "--loss", default="margin", choices=["margin", "selfadv"],
+        "--loss", default="margin", choices=["margin", "selfadv", "ce"],
         help="'selfadv' = Sun et al. 2019 self-adversarial loss over the "
         "shared pool (the strongest measured loss — RESULTS.md); uses the "
         "per-model selfadv margins (gamma) with lr 0.3 and k 8192 unless "
-        "--k overrides",
+        "--k overrides. 'ce' = the canonical multiplicative-era scheme for "
+        "EVERY model: reciprocal relations + object-direction 1-vs-all "
+        "cross entropy (ls=0.1) + Adam lr=1e-3 (no sampler) — the recipe "
+        "that rescues DistMult/ComplEx/TuckER on this KG (RESULTS.md)",
     )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -125,6 +128,20 @@ def main() -> None:
         # reference operating point: iid corruption, margin 0.2, lr 0.1
         configs = [(n, m, 0.2, 0.1, None) for n, m, _, _, _ in configs
                    if n != "ConvE"]
+    if args.loss == "ce":
+        # every model trains through its score_all_o eval kernel; ComplEx
+        # gets its canonical N3 (measured n3=1e-3)
+        from dataclasses import replace as _rp
+
+        configs = [
+            (n,
+             None if n == "ConvE" else _rp(
+                 m, n_relations=2 * ds.n_relations,
+                 **({"n3": 1e-3} if n == "ComplEx" else {}),
+             ),
+             0.0, 1e-3, None)
+            for n, m, _, _, _ in configs
+        ]
     if args.loss == "selfadv":
         # per-family selfadv gammas measured in RESULTS.md ("selfadv sweep
         # across families"); lr 0.3, k 8192 unless --k overrides
@@ -140,14 +157,15 @@ def main() -> None:
         configs = [c for c in configs if c[0] in want]
     rows = []
     for name, model, margin, lr, k in configs:
-        if name == "ConvE":
+        if name == "ConvE" or args.loss == "ce":
             from skge_tpu import Adam, make_ce_step
             from skge_tpu.data import add_reciprocal_relations
             from skge_tpu.models import ConvE
 
             opt = Adam(lr=lr)
             aug = add_reciprocal_relations(ds)
-            model = ConvE(aug.n_entities, aug.n_relations, 150)
+            if name == "ConvE":
+                model = ConvE(aug.n_entities, aug.n_relations, 150)
             step = make_ce_step(model, opt, directions=("o",),
                                 label_smoothing=0.1)
             train_xs = jnp.asarray(aug.train)
@@ -199,6 +217,8 @@ def main() -> None:
             )
             if args.loss == "selfadv":
                 tag = f"selfadv g={margin} {tag}"
+            elif args.loss == "ce" or name == "ConvE":
+                tag = "CE+Adam reciprocal"
             header = (
                 f"| {name} {tag} ep={args.epochs} | {row['mrr']} | "
                 f"{row['mrr_raw']} | {row['hits1']} | {row['hits3']} | "
