@@ -129,17 +129,27 @@ def main() -> None:
         configs = [(n, m, 0.2, 0.1, None) for n, m, _, _, _ in configs
                    if n != "ConvE"]
     if args.loss == "ce":
-        # every model trains through its score_all_o eval kernel; ComplEx
-        # gets its canonical N3 (measured n3=1e-3)
+        # every model trains through its score_all_o eval kernel. rparam is
+        # STRIPPED: under CE the optimizer applies full-table updates, so
+        # row L2 decays every row every step and collapses the embeddings
+        # (measured: TuckER rparam=0.01 -> MRR 0.0003). ComplEx gets its
+        # canonical N3 (measured n3=1e-3); TuckER uses the measured
+        # d=150 / rcomp=30 shape.
         from dataclasses import replace as _rp
 
+        def _ce_model(n, m):
+            if n == "ConvE":
+                return None
+            if n == "TuckER":
+                return TuckER(ds.n_entities, 2 * ds.n_relations, 150,
+                              rcomp=30)
+            kw = {"n3": 1e-3} if n == "ComplEx" else {}
+            if hasattr(m, "rparam"):
+                kw["rparam"] = 0.0
+            return _rp(m, n_relations=2 * ds.n_relations, **kw)
+
         configs = [
-            (n,
-             None if n == "ConvE" else _rp(
-                 m, n_relations=2 * ds.n_relations,
-                 **({"n3": 1e-3} if n == "ComplEx" else {}),
-             ),
-             0.0, 1e-3, None)
+            (n, _ce_model(n, m), 0.0, 1e-3, None)
             for n, m, _, _, _ in configs
         ]
     if args.loss == "selfadv":
