@@ -92,6 +92,8 @@ def main() -> None:
         ap.error("--negatives must be >= 1")
     if args.k < 1:
         ap.error("--k must be >= 1")
+    if args.ce and args.selfadv:
+        ap.error("--ce and --selfadv are mutually exclusive")
 
     import jax
 

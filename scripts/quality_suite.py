@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=100)
-    ap.add_argument("--k", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=None,
+                    help="pool size (default 1024; 8192 for --loss selfadv)")
     ap.add_argument("--nbatches", type=int, default=100)
     ap.add_argument("--entities", type=int, default=40943)   # WN18 shape
     ap.add_argument("--relations", type=int, default=18)
@@ -60,6 +61,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.loss == "selfadv" and args.sampler != "shared":
         ap.error("--loss selfadv needs the shared-pool sampler")
+    if args.k is None:
+        args.k = 8192 if args.loss == "selfadv" else 1024
 
     import jax
 
@@ -158,27 +161,37 @@ def main() -> None:
         gammas = {"TransE-L1": 6.0, "TransE-L2": 3.0, "TransH": 3.0,
                   "PairRE": 3.0, "HolE": 1.0}
         configs = [
-            (n, m, gammas.get(n, 3.0), 0.3,
-             args.k if args.k != 1024 else 8192)
+            (n, m, gammas.get(n, 3.0), 0.3, args.k)
             for n, m, _, _, _ in configs if n != "ConvE"
         ]
     if args.models:
         want = {m.strip() for m in args.models.split(",")}
         configs = [c for c in configs if c[0] in want]
     rows = []
+    needs_recip = args.loss == "ce" or any(c[0] == "ConvE" for c in configs)
+    if needs_recip:
+        from skge_tpu.data import add_reciprocal_relations
+
+        aug = add_reciprocal_relations(ds)
+        aug_xs = jnp.asarray(aug.train)
     for name, model, margin, lr, k in configs:
+        eval_model = None  # default: evaluate the trained model directly
         if name == "ConvE" or args.loss == "ce":
             from skge_tpu import Adam, make_ce_step
-            from skge_tpu.data import add_reciprocal_relations
+            from skge_tpu.evaluation import ReciprocalEvalWrapper
             from skge_tpu.models import ConvE
 
             opt = Adam(lr=lr)
-            aug = add_reciprocal_relations(ds)
             if name == "ConvE":
                 model = ConvE(aug.n_entities, aug.n_relations, 150)
+            else:
+                # canonical reciprocal protocol: head queries rank through
+                # the inverse relation (the direction CE actually trained),
+                # exactly as ConvE does internally
+                eval_model = ReciprocalEvalWrapper(model)
             step = make_ce_step(model, opt, directions=("o",),
                                 label_smoothing=0.1)
-            train_xs = jnp.asarray(aug.train)
+            train_xs = aug_xs
         else:
             opt = AdaGrad(lr=lr)
             if args.sampler == "random-mode":
@@ -209,7 +222,9 @@ def main() -> None:
             state, m = epoch(state, train_xs)
         np.asarray(m.loss)
         t_train = time.perf_counter() - t0
-        ev = FilteredRankingEval(model, ds.test, ds.all_triples(), batch_size=1024)
+        ev = FilteredRankingEval(
+            eval_model or model, ds.test, ds.all_triples(), batch_size=1024
+        )
         r = ev(state.params)
         row = {
             "model": name, "epochs": args.epochs,

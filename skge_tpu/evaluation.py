@@ -102,8 +102,11 @@ class RankingResult:
         where N-side predictions are expected to be much harder."""
         if self.test is None:
             raise ValueError("category breakdown needs the test triples")
+        # relations absent from `categories` (e.g. test-only relations when
+        # typing was computed over train) get their own explicit bin rather
+        # than silently polluting N-N
         cats = np.array(
-            [categories.get(int(p), "N-N") for p in self.test[:, 2]]
+            [categories.get(int(p), "uncategorized") for p in self.test[:, 2]]
         )
         out: Dict[str, Dict[str, Dict[str, float]]] = {}
         for c in sorted(set(cats.tolist())):
@@ -324,6 +327,34 @@ def evaluate(
         known = test
     ev = FilteredRankingEval(model, test, known, batch_size, hits_at)
     return ev(params)
+
+
+class ReciprocalEvalWrapper:
+    """Evaluate a reciprocal-trained model with the CANONICAL protocol:
+    head (subject-direction) queries route through the inverse relation id
+    instead of the model's native `score_all_s` — exactly what ConvE does
+    internally (models/conve.py `_inv`). Wrap any model trained on
+    `data.add_reciprocal_relations` output with object-direction-only CE
+    before passing it to FilteredRankingEval, so both directions rank
+    through the objective that was actually optimized. `n_relations` on
+    the wrapped model must be the DOUBLED count."""
+
+    def __init__(self, model: KGEModel):
+        if model.n_relations % 2 != 0:
+            raise ValueError(
+                "reciprocal eval expects the DOUBLED relation count "
+                "(data.add_reciprocal_relations)"
+            )
+        self.model = model
+
+    def score_all_o(self, params, s, p):
+        return self.model.score_all_o(params, s, p)
+
+    def score_all_s(self, params, o, p):
+        half = self.model.n_relations // 2
+        return self.model.score_all_o(
+            params, o, jnp.where(p < half, p + half, p - half)
+        )
 
 
 def relation_categories(

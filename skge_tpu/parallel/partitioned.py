@@ -514,12 +514,13 @@ def _build_local_step(
                     modes=sampler.modes, gather=g,
                 )
                 nviol = jnp.zeros((), loss.dtype)
-                # selfadv dense grads are means over scored ELEMENTS
-                dnorm_local = jnp.maximum(
-                    jnp.sum(mask)
-                    * (1.0 + pool_idx.shape[0] * len(sampler.modes)),
-                    1.0,
+                # selfadv dense grads are means over scored ELEMENTS; keep
+                # the RAW count for the global denominator (clamping before
+                # the psum would let fully-masked shards inflate it)
+                dnorm_raw = jnp.sum(mask) * (
+                    1.0 + pool_idx.shape[0] * len(sampler.modes)
                 )
+                dnorm_local = jnp.maximum(dnorm_raw, 1.0)
             else:
                 loss, nviol, occ, g_dense = pairwise_grads_shared(
                     model, params, batch, pool_idx, mask, margin,
@@ -540,7 +541,9 @@ def _build_local_step(
             dnorm_local = jnp.maximum(nviol_local, 1.0)
             dnorm_global = jnp.maximum(nviol, 1.0)
         else:
-            dnorm_global = jax.lax.psum(dnorm_local, SHARD_AXIS)
+            dnorm_global = jnp.maximum(
+                jax.lax.psum(dnorm_raw, SHARD_AXIS), 1.0
+            )
 
         new_params = dict(params)
         new_opt = dict(state.opt_state)
@@ -718,6 +721,11 @@ def make_partitioned_epoch(
         raise ValueError("ragged exchange requires boundary_cap")
     if loss not in ("margin", "selfadv"):
         raise ValueError(f"unknown partitioned loss {loss!r}")
+    if loss == "selfadv" and not hasattr(sampler, "pool"):
+        raise ValueError(
+            "loss='selfadv' needs a shared-pool sampler (the softmax "
+            "difficulty weights are defined over a candidate pool)"
+        )
     local_step = _build_local_step(
         model, opt, sampler, margin, epname, s_rows, shared, cap, overlap,
         ragged, debug_checks, loss_kind=loss, alpha=adv_alpha,

@@ -376,11 +376,14 @@ def make_shardmap_selfadv_step(
                 model.post_constraints.get(pname),
             )
         # dense params: g_dense is the per-shard MEAN over that shard's
-        # scored elements — recover sums, reduce, renormalize globally
-        n_local = jnp.maximum(
-            jnp.sum(mask) * (1.0 + k_pool * len(modes)), 1.0
-        )
-        n_global = jax.lax.psum(n_local, DATA_AXIS)
+        # scored elements — recover sums (g * clamped local count; a
+        # fully-masked shard has g == 0 so the clamp is harmless there),
+        # reduce, then renormalize by the GLOBAL raw count clamped once
+        # (clamping per shard before the psum would let fully-masked
+        # padding shards inflate the denominator)
+        n_raw = jnp.sum(mask) * (1.0 + k_pool * len(modes))
+        n_local = jnp.maximum(n_raw, 1.0)
+        n_global = jnp.maximum(jax.lax.psum(n_raw, DATA_AXIS), 1.0)
         for pname, g in g_dense.items():
             g_global = jax.lax.psum(g * n_local, DATA_AXIS) / n_global
             new_params[pname], new_opt[pname] = opt.apply_full(

@@ -276,7 +276,12 @@ def test_shardmap_selfadv_matches_single_device(mesh_shape):
     if len(jax.devices()) < n_dev:
         pytest.skip("needs 8 virtual devices")
     batch = make_batch(13)
-    mask = jnp.ones(B, jnp.float64)
+    # last quarter masked: on the (4, 2) mesh the final data shard is
+    # ENTIRELY padding, which pins the raw-count (not clamped-count)
+    # global denominator for the dense-param gradients
+    mask = jnp.asarray(
+        (np.arange(B) < 3 * B // 4).astype(np.float64)
+    )
     rng = np.random.default_rng(14)
     pool = jnp.asarray(rng.integers(0, N_E, 9), jnp.int32)
 
