@@ -214,3 +214,45 @@ def test_relation_categories_and_by_category():
     ]
     pooled = sum(m * n for m, n in cells) / sum(n for _, n in cells)
     np.testing.assert_allclose(pooled, res.mrr, rtol=1e-12)
+
+
+def test_reciprocal_eval_wrapper_routes_heads_through_inverse():
+    """Wrapper contract: score_all_o passes through; score_all_s(o, p)
+    ranks candidates e by score(o, e, inv(p)) — the canonical protocol for
+    reciprocal-CE-trained models — and wrapping ConvE (which already
+    routes internally) is a no-op."""
+    from skge_tpu.evaluation import ReciprocalEvalWrapper
+    from skge_tpu.models import ConvE, DistMult
+
+    n_r2 = 6  # doubled count
+    model = DistMult(N_E, n_r2, D, dtype="float64")
+    params = model.init_params(jax.random.PRNGKey(2))
+    w = ReciprocalEvalWrapper(model)
+    rng = np.random.default_rng(3)
+    b = 7
+    o = jnp.asarray(rng.integers(0, N_E, b), jnp.int32)
+    p = jnp.asarray(rng.integers(0, n_r2 // 2, b), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(w.score_all_o(params, o, p)),
+        np.asarray(model.score_all_o(params, o, p)),
+    )
+    got = np.asarray(w.score_all_s(params, o, p))
+    want = np.asarray(model.score_all_o(params, o, p + n_r2 // 2))
+    np.testing.assert_array_equal(got, want)
+    # involution: inverse ids route back to the base ids
+    got2 = np.asarray(w.score_all_s(params, o, p + n_r2 // 2))
+    np.testing.assert_array_equal(
+        got2, np.asarray(model.score_all_o(params, o, p))
+    )
+
+    conve = ConvE(N_E, n_r2, 6, nfilters=4, dtype="float64")
+    cp = conve.init_params(jax.random.PRNGKey(4))
+    wc = ReciprocalEvalWrapper(conve)
+    np.testing.assert_allclose(
+        np.asarray(wc.score_all_s(cp, o, p)),
+        np.asarray(conve.score_all_s(cp, o, p)), rtol=1e-12,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="DOUBLED"):
+        ReciprocalEvalWrapper(DistMult(N_E, 5, D))
