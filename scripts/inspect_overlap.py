@@ -131,7 +131,7 @@ def analyze(hlo: str):
     return records, sync_colls
 
 
-def build_step(boundary_cap: int, overlap: bool, ragged: bool = False):
+def build_step(boundary_cap: int, overlap: bool, ragged: bool = False, loss: str = "margin"):
     import jax
 
     # keep every runtime array on CPU: the AOT TPU compile only needs the
@@ -148,6 +148,7 @@ def build_step(boundary_cap: int, overlap: bool, ragged: bool = False):
         SHARD_AXIS,
         RelabeledPoolSampler,
         make_partitioned_pairwise_step,
+        make_partitioned_selfadv_step,
         partitioned_state_specs,
     )
     from skge_tpu.training import TrainState
@@ -159,10 +160,16 @@ def build_step(boundary_cap: int, overlap: bool, ragged: bool = False):
     model = TransE(n_entities=n_e, n_relations=64, ncomp=d)
     opt = AdaGrad(lr=0.1)
     sampler = RelabeledPoolSampler(np.arange(n_e), k=512)
-    step = make_partitioned_pairwise_step(
-        model, opt, sampler, 1.0, mesh,
-        boundary_cap=boundary_cap, overlap=overlap, ragged=ragged,
-    )
+    if loss == "selfadv":
+        step = make_partitioned_selfadv_step(
+            model, opt, sampler, 1.0, mesh,
+            boundary_cap=boundary_cap, overlap=overlap, ragged=ragged,
+        )
+    else:
+        step = make_partitioned_pairwise_step(
+            model, opt, sampler, 1.0, mesh,
+            boundary_cap=boundary_cap, overlap=overlap, ragged=ragged,
+        )
     _, _, spec = partitioned_state_specs(model, opt)
     sh = jax.tree.map(
         lambda sp: NamedSharding(mesh, sp), spec,
@@ -195,8 +202,10 @@ def main() -> None:
                     help="owner-routed ragged_all_to_all boundary exchange "
                     "(P-fold exchange-volume reduction)")
     ap.add_argument("--dump", default=None, help="write full HLO here")
+    ap.add_argument("--loss", default="margin", choices=["margin", "selfadv"])
     args = ap.parse_args()
-    compiled = build_step(args.boundary_cap, overlap=not args.no_overlap, ragged=args.ragged)
+    compiled = build_step(args.boundary_cap, overlap=not args.no_overlap,
+                          ragged=args.ragged, loss=args.loss)
     hlo = compiled.as_text()
     if args.dump:
         open(args.dump, "w").write(hlo)
