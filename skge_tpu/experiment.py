@@ -104,20 +104,25 @@ class Experiment:
                 **kw,
             )
             log.info("using %s synthetic KG (no --fin given)", args.synthetic_kind)
-        if args.model == "conve":
-            # ConvE is directional (models/conve.py): reciprocal ids +
-            # object-side-only corruption / CE direction
+        reciprocal = args.model == "conve" or args.reciprocal
+        if reciprocal:
+            # ConvE is directional (models/conve.py); --reciprocal applies
+            # the same canonical scheme to ANY model: inverse relation ids +
+            # object-direction-only CE (the recipe that rescues the
+            # multiplicative family — RESULTS.md)
             from skge_tpu.data import add_reciprocal_relations
 
+            if args.reciprocal and not args.ce:
+                raise SystemExit("--reciprocal requires --ce")
             self.ds = add_reciprocal_relations(self.ds)
             log.info(
-                "conve: reciprocal-relation augmentation (n_relations "
-                "doubled to %d, train doubled to %d)",
+                "reciprocal-relation augmentation (n_relations doubled to "
+                "%d, train doubled to %d)",
                 self.ds.n_relations, len(self.ds.train),
             )
             if args.trainer != "single":
                 raise SystemExit(
-                    "--model conve supports --trainer single only"
+                    "reciprocal training supports --trainer single only"
                 )
         model_cls = MODELS[args.model]
         kw = {}
@@ -153,7 +158,7 @@ class Experiment:
             loss="ce" if args.ce else ("selfadv" if args.selfadv else "margin"),
             adv_alpha=args.adv_alpha,
             label_smoothing=args.label_smoothing,
-            ce_directions=("o",) if args.model == "conve" else ("o", "s"),
+            ce_directions=("o",) if reciprocal else ("o", "s"),
             aggregate=args.aggregate,
             seed=args.seed,
             metrics_jsonl=args.metrics,
@@ -186,6 +191,13 @@ class Experiment:
                     "--trainer %s ignores: %s", args.trainer,
                     "; ".join(ignored),
                 )
+        # head queries of reciprocal-trained non-ConvE models rank through
+        # the inverse relation (ConvE routes internally)
+        self._eval_model = self.model
+        if reciprocal and args.model != "conve":
+            from skge_tpu.evaluation import ReciprocalEvalWrapper
+
+            self._eval_model = ReciprocalEvalWrapper(self.model)
         self.best_mrr = -1.0
         self.best_params = None
         self.evals_without_improvement = 0
@@ -208,7 +220,7 @@ class Experiment:
             return True
         if self._valid_ev is None:
             self._valid_ev = FilteredRankingEval(
-                self.model,
+                self._eval_model,
                 self.ds.valid,
                 self.ds.all_triples(),
                 batch_size=self.args.eval_batch,
@@ -360,7 +372,7 @@ class Experiment:
         result = {"train_seconds": train_time, "epochs": self.trainer.epoch}
         if len(self.ds.test) > 0 and self.args.mode == "rank":
             ev = FilteredRankingEval(
-                self.model,
+                self._eval_model,
                 self.ds.test,
                 self.ds.all_triples(),
                 batch_size=self.args.eval_batch,
@@ -421,6 +433,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--rparam", type=float, default=0.0)
     p.add_argument("--n3", type=float, default=0.0,
                    help="nuclear-3-norm coefficient (factorization models)")
+    p.add_argument("--reciprocal", action="store_true",
+                   help="[with --ce] reciprocal-relation training for ANY "
+                   "model: doubled relation ids, object-direction-only CE, "
+                   "canonical inverse-routed head evaluation (automatic "
+                   "for --model conve)")
     p.add_argument("--nhidden", type=int, default=10)
     p.add_argument("--af", default="sigmoid")
     p.add_argument("--init", default="nunif", choices=["nunif", "normal"])
