@@ -112,7 +112,7 @@ class Experiment:
             # multiplicative family — RESULTS.md)
             from skge_tpu.data import add_reciprocal_relations
 
-            if args.reciprocal and not args.ce:
+            if args.reciprocal and args.model != "conve" and not args.ce:
                 raise SystemExit("--reciprocal requires --ce")
             self.ds = add_reciprocal_relations(self.ds)
             log.info(
@@ -180,8 +180,6 @@ class Experiment:
                 ignored.append(f"--aggregate {args.aggregate}")
             if args.no_pairwise:
                 ignored.append("--no-pairwise (pairwise only)")
-            if args.selfadv:
-                ignored.append("--selfadv (pairwise only)")
             if args.ce:
                 ignored.append("--ce (pairwise only)")
             if args.metrics:
@@ -265,6 +263,7 @@ class Experiment:
 
         args = self.args
         opt = AdaGrad(lr=args.lr)
+        loss = "selfadv" if args.selfadv else "margin"
         if args.trainer == "partitioned":
             from skge_tpu.parallel.partitioned import (
                 PartitionedTrainer, make_shard_mesh,
@@ -273,7 +272,7 @@ class Experiment:
             tr = PartitionedTrainer(
                 self.model, opt, self.ds.train, make_shard_mesh(),
                 margin=args.margin, k=args.k, nbatches=args.nb,
-                seed=args.seed,
+                seed=args.seed, loss=loss, adv_alpha=args.adv_alpha,
             )
 
             def eval_split(split):
@@ -286,7 +285,7 @@ class Experiment:
             tr = OutOfCoreTrainer(
                 self.model, opt, self.ds.train, n_parts=args.parts,
                 margin=args.margin, k=args.k, nbatches=args.nb,
-                seed=args.seed,
+                seed=args.seed, loss=loss, adv_alpha=args.adv_alpha,
             )
 
             def eval_split(split):

@@ -73,3 +73,54 @@ def test_experiment_cli_scaleout_trainers(tmp_path):
 def test_latent_kg_capacity_guard():
     with pytest.raises(ValueError, match="unique noise-free"):
         latent_kg(n_entities=10, n_relations=2, n_train=100)
+
+
+def test_experiment_cli_reciprocal_ce(tmp_path):
+    """--ce --reciprocal: dataset augmented (doubled relations), CE trains
+    object-direction-only, and BOTH eval sites rank heads through the
+    canonical inverse-routed wrapper."""
+    from skge_tpu.evaluation import ReciprocalEvalWrapper
+    from skge_tpu.experiment import Experiment, make_parser
+
+    ds = synthetic_kg(60, 4, n_train=400, n_valid=40, n_test=40, seed=3)
+    path = str(tmp_path / "kg.bin")
+    save_dataset(ds, path)
+    args = make_parser().parse_args([
+        "--cpu", "--fin", path, "--model", "distmult", "--ncomp", "8",
+        "--ce", "--reciprocal", "--optimizer", "adam", "--lr", "1e-3",
+        "--me", "2", "--nb", "8", "--test-all", "1", "--mode", "rank",
+    ])
+    exp = Experiment(args)
+    assert exp.ds.n_relations == 8  # doubled
+    assert len(exp.ds.train) == 800  # inverse triples appended
+    assert isinstance(exp._eval_model, ReciprocalEvalWrapper)
+    assert tuple(exp.trainer.config.ce_directions) == ("o",)
+    result = exp.run()
+    assert "mrr" in result and np.isfinite(result["mrr"])
+
+    # --reciprocal without --ce is rejected (except for conve, where the
+    # flag is redundant)
+    bad = make_parser().parse_args([
+        "--cpu", "--fin", path, "--model", "distmult", "--reciprocal",
+        "--me", "1", "--nb", "4",
+    ])
+    with pytest.raises(SystemExit):
+        Experiment(bad)
+
+
+def test_experiment_cli_selfadv_scaleout(tmp_path):
+    """--selfadv reaches the partitioned and out-of-core trainers (it was
+    silently downgraded to margin loss before)."""
+    from skge_tpu.experiment import main
+
+    ds = synthetic_kg(60, 4, n_train=400, n_valid=40, n_test=40, seed=3)
+    path = str(tmp_path / "kg.bin")
+    save_dataset(ds, path)
+    for extra in (["--trainer", "partitioned"],
+                  ["--trainer", "outofcore", "--parts", "2"]):
+        rc = main([
+            "--cpu", "--fin", path, "--model", "transe", "--l2",
+            "--ncomp", "16", "--me", "2", "--nb", "8", "--test-all", "0",
+            "--k", "32", "--selfadv", "--margin", "2.0",
+        ] + extra)
+        assert rc == 0, extra
