@@ -57,6 +57,10 @@ def main() -> None:
         "cross entropy (ls=0.1) + Adam lr=1e-3 (no sampler) — the recipe "
         "that rescues DistMult/ComplEx/TuckER on this KG (RESULTS.md)",
     )
+    ap.add_argument("--adv-alpha", type=float, default=1.0,
+                    help="[--loss selfadv] softmax temperature; the "
+                    "recorded tables use 1.0, the tuned best is 2.0 "
+                    "(RESULTS.md lever sweep)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.loss == "selfadv" and args.sampler != "shared":
@@ -204,8 +208,8 @@ def main() -> None:
                 from skge_tpu import make_selfadv_step
 
                 step = make_selfadv_step(
-                    model, opt, sampler, margin=margin, alpha=1.0,
-                    aggregate="dense",
+                    model, opt, sampler, margin=margin,
+                    alpha=args.adv_alpha, aggregate="dense",
                 )
             else:
                 step = make_pairwise_step(
