@@ -13,7 +13,9 @@ Reference-compatible class surface (skge-style Model/Trainer/Sampler API):
 from skge_tpu.models import (ERMLP, MODELS, ComplEx, ConvE, DistMult, HolE,
                              KGEModel, PairRE, QuatE, RESCAL, RotatE,
                              SimplE, TransE, TransH, TransR, TuckER)
-from skge_tpu.optim import OPTIMIZERS, AdaGrad, Adam, SGD
+from skge_tpu.optim import (OPTIMIZERS, SCHEDULES, AdaGrad, Adam, SGD,
+                            Schedule, WarmupCosine, WarmupLinear,
+                            make_schedule)
 from skge_tpu.sampling import (
     SAMPLERS,
     BernoulliSampler,
@@ -62,6 +64,11 @@ __all__ = [
     "Adam",
     "SGD",
     "OPTIMIZERS",
+    "SCHEDULES",
+    "Schedule",
+    "WarmupCosine",
+    "WarmupLinear",
+    "make_schedule",
     "OutOfCoreTrainer",
     "PartitionedTrainer",
     "LinkPredictor",

@@ -216,24 +216,62 @@ def latent_kg(
     latent_dim: int = 16,
     noise: float = 0.0,
     seed: int = 0,
+    kind: str = "translational",
+    rank: Optional[int] = None,
 ) -> Dataset:
-    """Learnable synthetic KG with translational latent geometry.
+    """Learnable synthetic KG with a chosen latent geometry.
 
-    Entities get latent points z_e (unit ball); relations get translations
-    t_p; a triple (s, o, p) holds iff o is the nearest entity to z_s + t_p
-    (plus optional Gaussian noise before the argmin). Link prediction on a
-    held-out split is then genuinely solvable — a correctly-implemented
-    TransE reaches high filtered MRR, making this the quality gate for
-    training-scheme comparisons (iid vs shared negatives) where
-    `synthetic_kg`'s unstructured triples cannot differentiate anything.
+    Link prediction on a held-out split is genuinely solvable, making these
+    KGs the quality gates for training-scheme and model-family comparisons
+    where `synthetic_kg`'s unstructured triples cannot differentiate
+    anything. Three geometries, so EVERY model family has a KG it should
+    win on (VERDICT r2 ask 1 — the translational-only generator left the
+    multiplicative family without a realizable target):
+
+    - ``kind='translational'``: entities are latent points z_e (unit ball),
+      relations translations t_p; o = nearest entity to z_s + t_p. TransE /
+      TransH geometry.
+    - ``kind='bilinear'``: entities are unit vectors; relations random
+      low-rank matrices W_p = A B^T / sqrt(rank) (``rank`` defaults to
+      latent_dim // 2); o = argmax_o (z_s^T W_p) . z_o. RESCAL / TuckER /
+      DistMult-family geometry.
+    - ``kind='rotational'``: entities are complex latents ([re | im] block
+      layout, latent_dim must be even); relations per-dimension phases
+      theta_p; o = nearest entity to z_s rotated by e^{i theta_p}. RotatE /
+      ComplEx / HolE geometry (rotation is an isometry, so the nearest-
+      neighbour structure is exactly a RotatE score).
+
+    Optional Gaussian `noise` is added to the query before the
+    argmin/argmax. Deterministic per (seed, kind, backend).
     """
     import jax
     import jax.numpy as jnp
 
+    if kind not in ("translational", "bilinear", "rotational"):
+        raise ValueError(f"unknown latent kind {kind!r}")
+    if kind == "rotational" and latent_dim % 2 != 0:
+        raise ValueError("rotational geometry needs an even latent_dim")
+
     rng = np.random.default_rng(seed)
     Z = rng.normal(size=(n_entities, latent_dim)).astype(np.float32)
-    Z /= np.maximum(np.linalg.norm(Z, axis=1, keepdims=True), 1.0)
-    T = (rng.normal(size=(n_relations, latent_dim)) * 0.5).astype(np.float32)
+    if kind == "bilinear":
+        # exact unit sphere: argmax of the bilinear form is then direction-
+        # only (no degenerate large-norm entity winning every query)
+        Z /= np.maximum(np.linalg.norm(Z, axis=1, keepdims=True), 1e-12)
+        r = rank or max(2, latent_dim // 2)
+        A = rng.normal(size=(n_relations, latent_dim, r))
+        B = rng.normal(size=(n_relations, latent_dim, r))
+        Rel = (A @ B.transpose(0, 2, 1) / np.sqrt(r)).astype(np.float32)
+    else:
+        Z /= np.maximum(np.linalg.norm(Z, axis=1, keepdims=True), 1.0)
+        if kind == "translational":
+            Rel = (rng.normal(size=(n_relations, latent_dim)) * 0.5).astype(
+                np.float32
+            )
+        else:  # rotational: per-dimension phases in (-pi, pi]
+            Rel = rng.uniform(
+                -np.pi, np.pi, size=(n_relations, latent_dim // 2)
+            ).astype(np.float32)
 
     total = n_train + n_valid + n_test
     if noise == 0.0 and total > 0.9 * n_entities * n_relations:
@@ -245,22 +283,30 @@ def latent_kg(
             "unique noise-free triples; lower the split sizes or set noise>0"
         )
 
-    # nearest-entity assignment runs on the default jax device (the 198
-    # GFLOP argmin sweep at WN18 scale takes minutes in host NumPy but
-    # milliseconds on the accelerator); fp32 on any backend, so the dataset
-    # is deterministic per (seed, backend)
+    # object assignment runs on the default jax device (the 198 GFLOP sweep
+    # at WN18 scale takes minutes in host NumPy but milliseconds on the
+    # accelerator); fp32 on any backend, so the dataset is deterministic
+    # per (seed, kind, backend)
     Zd = jnp.asarray(Z)
-    Td = jnp.asarray(T)
+    Rd = jnp.asarray(Rel)
     zn = jnp.sum(Zd * Zd, axis=1)
     chunk = 16384
 
     @jax.jit
-    def nearest(s, p, eps):
-        q = Zd[s] + Td[p] + eps
-        d2 = zn[None, :] - 2.0 * jnp.dot(
-            q, Zd.T, preferred_element_type=jnp.float32
-        )
-        return jnp.argmin(d2, axis=1).astype(jnp.int32)
+    def assign(s, p, eps):
+        if kind == "translational":
+            q = Zd[s] + Rd[p] + eps
+        elif kind == "rotational":
+            h = Zd.shape[1] // 2
+            a, b = Zd[s, :h], Zd[s, h:]
+            c, sn = jnp.cos(Rd[p]), jnp.sin(Rd[p])
+            q = jnp.concatenate([a * c - b * sn, a * sn + b * c], axis=1) + eps
+        else:  # bilinear: query = z_s^T W_p, scored by dot
+            q = jnp.einsum("bd,bde->be", Zd[s], Rd[p]) + eps
+        dots = jnp.dot(q, Zd.T, preferred_element_type=jnp.float32)
+        if kind == "bilinear":
+            return jnp.argmax(dots, axis=1).astype(jnp.int32)
+        return jnp.argmin(zn[None, :] - 2.0 * dots, axis=1).astype(jnp.int32)
 
     triples = np.zeros((0, 3), np.int32)
     while triples.shape[0] < total:
@@ -277,7 +323,7 @@ def latent_kg(
                 else np.zeros((1, latent_dim), np.float32)
             )
             oc = np.asarray(
-                nearest(
+                assign(
                     jnp.asarray(sp[lo : lo + chunk]),
                     jnp.asarray(pp[lo : lo + chunk]),
                     jnp.asarray(eps),

@@ -153,6 +153,9 @@ class Experiment:
             nbatches=args.nb,
             learning_rate=args.lr,
             optimizer=args.optimizer,
+            schedule=None if args.schedule == "constant" else args.schedule,
+            warmup=args.warmup,
+            schedule_min=args.schedule_min,
             margin=args.margin,
             pairwise=not args.no_pairwise,
             loss="ce" if args.ce else ("selfadv" if args.selfadv else "margin"),
@@ -259,10 +262,19 @@ class Experiment:
         import jax
         import jax.numpy as jnp
 
-        from skge_tpu.optim import AdaGrad
+        from skge_tpu.optim import OPTIMIZERS, make_schedule
 
         args = self.args
-        opt = AdaGrad(lr=args.lr)
+        # both scale-out steps accept any Optimizer (Adam slot specs are
+        # rank-adapted), so --optimizer plumbs straight through; schedules
+        # ride the same TrainState.step the scale-out steps maintain
+        opt = OPTIMIZERS[args.optimizer](
+            lr=args.lr,
+            schedule=make_schedule(
+                args.schedule, warmup=args.warmup,
+                total=args.me * args.nb, min_scale=args.schedule_min,
+            ),
+        )
         loss = "selfadv" if args.selfadv else "margin"
         if args.trainer == "partitioned":
             from skge_tpu.parallel.partitioned import (
@@ -405,6 +417,14 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=0.1, help="learning rate")
     p.add_argument("--optimizer", default="adagrad",
                    choices=["adagrad", "sgd", "adam"])
+    p.add_argument("--schedule", default="constant",
+                   choices=["constant", "linear", "cosine"],
+                   help="lr schedule over --me * --nb total steps "
+                   "(checkpoint-safe: position = the global step count)")
+    p.add_argument("--warmup", type=int, default=0,
+                   help="[--schedule] linear warmup steps")
+    p.add_argument("--schedule-min", type=float, default=0.0,
+                   help="[--schedule] final lr as a fraction of --lr")
     p.add_argument("--ncomp", type=int, default=150, help="embedding dim")
     p.add_argument("--margin", type=float, default=0.2, help="pairwise margin")
     p.add_argument("--sampler", default="random-mode",

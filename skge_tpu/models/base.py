@@ -152,8 +152,15 @@ class KGEModel:
         Default factor weight is |x| per entry → gradient x·|x|. Models
         whose per-dimension factor is NOT a single entry override this
         (ComplEx: the complex modulus over its [real | imag] halves —
-        Lacroix et al.'s canonical form)."""
+        Lacroix et al.'s canonical form; QuatE: the quaternion modulus)."""
         return rows * jnp.abs(rows)
+
+    def reg_grad_rows(self, pname: str, rows: jnp.ndarray) -> jnp.ndarray:
+        """Row-L2 (`rparam`) gradient contribution for `pname` rows —
+        identity by default. Models that pack non-embedding values into a
+        row param override this to exempt them (ConvE masks its output-bias
+        column of E: the paper leaves output biases unregularized)."""
+        return rows
 
     @property
     def sz(self) -> Tuple[int, int, int]:

@@ -90,6 +90,14 @@ class ConvE(KGEModel):
                 "count (use data.add_reciprocal_relations)"
             )
 
+    def reg_grad_rows(self, pname, rows):
+        """The paper leaves output biases unregularized: E's trailing column
+        (the per-entity output bias b_o) is masked out of the rparam row-L2
+        gradient so rparam>0 decays embeddings only, not biases."""
+        if pname != "E":
+            return rows
+        return rows.at[..., -1].set(0.0)
+
     @property
     def grid(self):
         h = self.eh or _auto_grid(self.ncomp)

@@ -48,6 +48,15 @@ class QuatE(KGEModel):
     def slot_spec(self):
         return (("es", "E", "s"), ("eo", "E", "o"), ("rp", "R", "p"))
 
+    def n3_grad_rows(self, pname, rows):
+        """Canonical quaternion N3 (Lacroix-style, mirroring ComplEx): the
+        per-dimension factor is the quaternion MODULUS
+        m_j = sqrt(a_j² + b_j² + c_j² + d_j²) over the [a|b|c|d] blocks, so
+        ∂(Σ m³)/∂(a,b,c,d) / 3 = m · (a, b, c, d)."""
+        a, b, c, d = self._split(rows)
+        m = jnp.sqrt(a * a + b * b + c * c + d * d)
+        return self._join(m * a, m * b, m * c, m * d)
+
     def init_params(self, key: jax.Array) -> Params:
         init = INITIALIZERS[self.init]
         ke, kr = jax.random.split(key)

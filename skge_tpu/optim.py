@@ -55,17 +55,102 @@ def normless1_rows(rows: jnp.ndarray) -> jnp.ndarray:
 POST_CONSTRAINTS = {"normless1": normless1_rows}
 
 
+# ---------------------------------------------------------------------------
+# Learning-rate schedules (build-scope; no reference counterpart — the
+# reference's optimizers are constant-lr). Step-count driven and therefore
+# checkpoint-safe: the position in the schedule is exactly TrainState.step,
+# which every checkpoint already saves/restores (utils/checkpoint.py), so
+# resume continues the decay mid-curve with no extra state. The scale is
+# computed from a TRACED step inside the jitted training step (pure jnp
+# math, no Python control flow), so one compiled executable serves the
+# whole schedule.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Schedule:
+    """lr multiplier as a function of the global step (traced-safe)."""
+
+    def __call__(self, step) -> jnp.ndarray:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class WarmupLinear(Schedule):
+    """Linear warmup over `warmup` steps, then linear decay to
+    `min_scale` * lr at `total` steps (constant afterwards)."""
+
+    warmup: int = 0
+    total: int = 10_000
+    min_scale: float = 0.0
+
+    def __call__(self, step) -> jnp.ndarray:
+        # default float dtype (fp64 under x64) so fp64 parity tests see the
+        # schedule as a pure lr multiplier, not an fp32 rounding source
+        s = jnp.asarray(step, jnp.result_type(0.0))
+        w = jnp.minimum(s / jnp.maximum(float(self.warmup), 1.0), 1.0)
+        w = jnp.where(self.warmup > 0, w, 1.0)
+        span = max(float(self.total - self.warmup), 1.0)
+        frac = jnp.clip((s - float(self.warmup)) / span, 0.0, 1.0)
+        return w * (1.0 - (1.0 - self.min_scale) * frac)
+
+
+@dataclass(frozen=True)
+class WarmupCosine(Schedule):
+    """Linear warmup over `warmup` steps, then cosine decay to
+    `min_scale` * lr at `total` steps (constant afterwards)."""
+
+    warmup: int = 0
+    total: int = 10_000
+    min_scale: float = 0.0
+
+    def __call__(self, step) -> jnp.ndarray:
+        # default float dtype (fp64 under x64) so fp64 parity tests see the
+        # schedule as a pure lr multiplier, not an fp32 rounding source
+        s = jnp.asarray(step, jnp.result_type(0.0))
+        w = jnp.minimum(s / jnp.maximum(float(self.warmup), 1.0), 1.0)
+        w = jnp.where(self.warmup > 0, w, 1.0)
+        span = max(float(self.total - self.warmup), 1.0)
+        frac = jnp.clip((s - float(self.warmup)) / span, 0.0, 1.0)
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        return w * (self.min_scale + (1.0 - self.min_scale) * cos)
+
+
+SCHEDULES = {"linear": WarmupLinear, "cosine": WarmupCosine}
+
+
+def make_schedule(name: Optional[str], warmup: int = 0, total: int = 10_000,
+                  min_scale: float = 0.0) -> Optional[Schedule]:
+    """CLI helper: None/'constant' -> None, else SCHEDULES[name](...)."""
+    if name is None or name == "constant":
+        return None
+    return SCHEDULES[name](warmup=warmup, total=total, min_scale=min_scale)
+
+
 @dataclass(frozen=True)
 class Optimizer:
-    """Base for sparse row optimizers. `lr` matches _DEF_LEARNING_RATE=0.1."""
+    """Base for sparse row optimizers. `lr` matches _DEF_LEARNING_RATE=0.1.
+
+    `schedule` (optional) multiplies lr by `schedule(step)`; the apply
+    methods accept the traced global step for this. When `schedule` is set
+    but a caller doesn't pass `step`, the scale silently defaults to 1.0 —
+    every in-tree step factory threads TrainState.step through.
+    """
 
     lr: float = 0.1
+    schedule: Optional[Schedule] = None
+
+    def lr_at(self, step=None):
+        if self.schedule is None or step is None:
+            return self.lr
+        return self.lr * self.schedule(step)
 
     def init(self, params) -> OptState:
         raise NotImplementedError
 
     def _step(
-        self, rows: jnp.ndarray, g: jnp.ndarray, slots: Dict[str, jnp.ndarray]
+        self, rows: jnp.ndarray, g: jnp.ndarray,
+        slots: Dict[str, jnp.ndarray], lr=None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Return (new_rows, new_state_slots) for touched rows."""
         raise NotImplementedError
@@ -77,10 +162,13 @@ class Optimizer:
         state: Dict[str, jnp.ndarray],
         ug: UniqueGrads,
         post: Optional[str] = None,
+        step=None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         old_rows = param[ug.uidx]
         old_state = {k: v[ug.uidx] for k, v in state.items()}
-        new_rows, new_state = self._step(old_rows, ug.grads, old_state)
+        new_rows, new_state = self._step(
+            old_rows, ug.grads, old_state, self.lr_at(step)
+        )
         if post is not None:
             new_rows = POST_CONSTRAINTS[post](new_rows)
         valid = ug.count > 0
@@ -101,8 +189,11 @@ class Optimizer:
         state: Dict[str, jnp.ndarray],
         dg: DenseGrads,
         post: Optional[str] = None,
+        step=None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        new_rows, new_state = self._step(param, dg.grads, state)
+        new_rows, new_state = self._step(
+            param, dg.grads, state, self.lr_at(step)
+        )
         if post is not None:
             new_rows = POST_CONSTRAINTS[post](new_rows)
         valid = dg.count > 0
@@ -115,9 +206,10 @@ class Optimizer:
 
     # --- dense unconditional update (ER-MLP W/C) ---
     def apply_full(
-        self, param: jnp.ndarray, state: Dict[str, jnp.ndarray], g: jnp.ndarray
+        self, param: jnp.ndarray, state: Dict[str, jnp.ndarray],
+        g: jnp.ndarray, step=None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        return self._step(param, g, state)
+        return self._step(param, g, state, self.lr_at(step))
 
 
 @dataclass(frozen=True)
@@ -129,10 +221,11 @@ class AdaGrad(Optimizer):
     def init(self, params) -> OptState:
         return {k: {"p2": jnp.zeros_like(v)} for k, v in params.items()}
 
-    def _step(self, rows, g, slots):
+    def _step(self, rows, g, slots, lr=None):
+        lr = self.lr if lr is None else lr
         p2 = slots["p2"] + g * g
         h = jnp.maximum(jnp.sqrt(p2), self.eps)
-        return rows - self.lr * g / h, {"p2": p2}
+        return rows - lr * g / h, {"p2": p2}
 
 
 @dataclass(frozen=True)
@@ -142,8 +235,9 @@ class SGD(Optimizer):
     def init(self, params) -> OptState:
         return {k: {} for k in params}
 
-    def _step(self, rows, g, slots):
-        return rows - self.lr * g, {}
+    def _step(self, rows, g, slots, lr=None):
+        lr = self.lr if lr is None else lr
+        return rows - lr * g, {}
 
 
 @dataclass(frozen=True)
@@ -181,14 +275,15 @@ class Adam(Optimizer):
             for k, v in params.items()
         }
 
-    def _step(self, rows, g, slots):
+    def _step(self, rows, g, slots, lr=None):
+        lr = self.lr if lr is None else lr
         t = slots["t"] + 1.0
         m = self.b1 * slots["m"] + (1.0 - self.b1) * g
         v = self.b2 * slots["v"] + (1.0 - self.b2) * g * g
         tb = _bcast(t, rows.ndim)
         mhat = m / (1.0 - self.b1 ** tb)
         vhat = v / (1.0 - self.b2 ** tb)
-        new = rows - self.lr * mhat / (jnp.sqrt(vhat) + self.eps)
+        new = rows - lr * mhat / (jnp.sqrt(vhat) + self.eps)
         return new, {"m": m, "v": v, "t": t}
 
 

@@ -658,7 +658,7 @@ def _build_local_step(
                 (-1,) + (1,) * len(feat)
             )
             if reg != 0.0 and pname in model.reg_row_params:
-                gavg = gavg + reg * new_params[pname]
+                gavg = gavg + reg * model.reg_grad_rows(pname, new_params[pname])
             if reg3 != 0.0 and pname in model.reg_row_params:
                 gavg = gavg + (3.0 * reg3) * model.n3_grad_rows(
                     pname, new_params[pname]
@@ -666,12 +666,13 @@ def _build_local_step(
             dg = DenseGrads(grads=gavg, count=count)
             new_params[pname], new_opt[pname] = opt.apply_dense_masked(
                 new_params[pname], new_opt[pname], dg,
-                model.post_constraints.get(pname),
+                model.post_constraints.get(pname), step=state.step,
             )
         for pname, g_d in g_dense.items():
             gsum = jax.lax.psum(g_d * dnorm_local, SHARD_AXIS)
             new_params[pname], new_opt[pname] = opt.apply_full(
-                new_params[pname], new_opt[pname], gsum / dnorm_global
+                new_params[pname], new_opt[pname], gsum / dnorm_global,
+                step=state.step,
             )
         new_state = TrainState(new_params, new_opt, key, state.step + 1)
         return new_state, StepMetrics(loss=loss, nviolations=nviol)

@@ -81,7 +81,7 @@ def make_sharded_pairwise_step(
             )
             params, opt_state = apply_gradients(
                 model, opt, state.params, state.opt_state, occ, g_dense,
-                "dense", premasked=True,
+                "dense", premasked=True, step=state.step,
             )
             new_state = TrainState(params, opt_state, key, state.step + 1)
             return new_state, StepMetrics(loss=loss, nviolations=nviol)
@@ -95,7 +95,7 @@ def make_sharded_pairwise_step(
             )
             params, opt_state = apply_gradients(
                 model, opt, state.params, state.opt_state, occ, g_dense,
-                "dense", premasked=True,
+                "dense", premasked=True, step=state.step,
             )
             new_state = TrainState(params, opt_state, key, state.step + 1)
             return new_state, StepMetrics(loss=loss, nviolations=nviol)
@@ -138,7 +138,7 @@ def make_sharded_pointwise_step(
             )
             params, opt_state = apply_gradients(
                 model, opt, state.params, state.opt_state, occ, g_dense,
-                "dense", premasked=True,
+                "dense", premasked=True, step=state.step,
             )
             new_state = TrainState(params, opt_state, key, state.step + 1)
             return new_state, StepMetrics(

@@ -219,7 +219,7 @@ def make_shardmap_pairwise_step(
                 (-1,) + (1,) * len(feat)
             )
             if reg != 0.0 and pname in model.reg_row_params:
-                gavg = gavg + reg * new_params[pname]
+                gavg = gavg + reg * model.reg_grad_rows(pname, new_params[pname])
             if reg3 != 0.0 and pname in model.reg_row_params:
                 gavg = gavg + (3.0 * reg3) * model.n3_grad_rows(
                     pname, new_params[pname]
@@ -227,7 +227,7 @@ def make_shardmap_pairwise_step(
             dg = DenseGrads(grads=gavg, count=count)
             new_params[pname], new_opt[pname] = opt.apply_dense_masked(
                 new_params[pname], new_opt[pname], dg,
-                model.post_constraints.get(pname),
+                model.post_constraints.get(pname), step=state.step,
             )
         # dense (non-row) params: recover local gradient SUMS, reduce, then
         # divide by the GLOBAL violation count
@@ -237,7 +237,8 @@ def make_shardmap_pairwise_step(
             )
             g_global = gsum / jnp.maximum(nviol, 1.0)
             new_params[pname], new_opt[pname] = opt.apply_full(
-                new_params[pname], new_opt[pname], g_global
+                new_params[pname], new_opt[pname], g_global,
+                step=state.step,
             )
         new_state = TrainState(new_params, new_opt, key, state.step + 1)
         return new_state, StepMetrics(loss=loss, nviolations=nviol)
@@ -365,7 +366,7 @@ def make_shardmap_selfadv_step(
                 (-1,) + (1,) * len(feat)
             )
             if reg != 0.0 and pname in model.reg_row_params:
-                gavg = gavg + reg * new_params[pname]
+                gavg = gavg + reg * model.reg_grad_rows(pname, new_params[pname])
             if reg3 != 0.0 and pname in model.reg_row_params:
                 gavg = gavg + (3.0 * reg3) * model.n3_grad_rows(
                     pname, new_params[pname]
@@ -373,7 +374,7 @@ def make_shardmap_selfadv_step(
             dg = DenseGrads(grads=gavg, count=count)
             new_params[pname], new_opt[pname] = opt.apply_dense_masked(
                 new_params[pname], new_opt[pname], dg,
-                model.post_constraints.get(pname),
+                model.post_constraints.get(pname), step=state.step,
             )
         # dense params: g_dense is the per-shard MEAN over that shard's
         # scored elements — recover sums (g * clamped local count; a
@@ -387,7 +388,8 @@ def make_shardmap_selfadv_step(
         for pname, g in g_dense.items():
             g_global = jax.lax.psum(g * n_local, DATA_AXIS) / n_global
             new_params[pname], new_opt[pname] = opt.apply_full(
-                new_params[pname], new_opt[pname], g_global
+                new_params[pname], new_opt[pname], g_global,
+                step=state.step,
             )
         new_state = TrainState(new_params, new_opt, key, state.step + 1)
         return new_state, StepMetrics(
@@ -566,13 +568,13 @@ def make_shardmap_ce_step(
         for pname, g in g_tables.items():
             g = jax.lax.psum(g, DATA_AXIS) / denom
             if reg != 0.0 and pname in model.reg_row_params:
-                g = g + reg * new_params[pname]
+                g = g + reg * model.reg_grad_rows(pname, new_params[pname])
             if reg3 != 0.0 and pname in model.reg_row_params:
                 g = g + (3.0 * reg3) * model.n3_grad_rows(
                     pname, new_params[pname]
                 )
             new_params[pname], new_opt[pname] = opt.apply_full(
-                new_params[pname], new_opt[pname], g
+                new_params[pname], new_opt[pname], g, step=state.step
             )
             post = model.post_constraints.get(pname)
             if post is not None:

@@ -56,6 +56,12 @@ class TrainConfig:
     label_smoothing: float = 0.0
     ce_directions: tuple = ("o", "s")
     optimizer: str = "adagrad"
+    # lr schedule ('linear'/'cosine'/None) over max_epochs * nbatches total
+    # steps; checkpoint-safe (position = TrainState.step, which resume
+    # restores)
+    schedule: Optional[str] = None
+    warmup: int = 0
+    schedule_min: float = 0.0
     aggregate: str = "unique"
     # mesh runs only: row-shard relation tables over 'model' too (pairwise
     # shard_map step; see parallel/shardmap_step.py) — the large-n_r /
@@ -98,9 +104,18 @@ class Trainer:
         self.sampler = sampler
         self.post_epoch = list(post_epoch)
         self.mesh = mesh
-        self.opt = optimizer or OPTIMIZERS[config.optimizer](
-            lr=config.learning_rate
-        )
+        if optimizer is None:
+            from skge_tpu.optim import make_schedule
+
+            optimizer = OPTIMIZERS[config.optimizer](
+                lr=config.learning_rate,
+                schedule=make_schedule(
+                    config.schedule, warmup=config.warmup,
+                    total=config.max_epochs * config.nbatches,
+                    min_scale=config.schedule_min,
+                ),
+            )
+        self.opt = optimizer
         self.metrics = MetricsLogger(config.metrics_jsonl)
         self.state: Optional[TrainState] = None
         # per-epoch scalars for callbacks (reference attribute contract)

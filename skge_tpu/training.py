@@ -790,6 +790,7 @@ def apply_gradients(
     g_dense: Params,
     aggregate: str = "unique",  # 'unique'|'dense' (SPMD)|'dense_pallas'|'dense_sorted'
     premasked: bool = False,    # occ grads pre-weighted, mask = counts
+    step=None,                  # traced global step (lr schedules)
 ) -> Tuple[Params, OptState]:
     params = dict(params)
     opt_state = dict(opt_state)
@@ -809,7 +810,10 @@ def apply_gradients(
 
     def apply_dense_grads(pname, dg: DenseGrads):
         if reg != 0.0 and pname in model.reg_row_params:
-            dg = dg._replace(grads=dg.grads + reg * params[pname])
+            dg = dg._replace(
+                grads=dg.grads
+                + reg * model.reg_grad_rows(pname, params[pname])
+            )
         if reg3 != 0.0 and pname in model.reg_row_params:
             dg = dg._replace(
                 grads=dg.grads
@@ -817,7 +821,7 @@ def apply_gradients(
             )
         params[pname], opt_state[pname] = opt.apply_dense_masked(
             params[pname], opt_state[pname], dg,
-            model.post_constraints.get(pname),
+            model.post_constraints.get(pname), step=step,
         )
 
     # factored rank-1 entries (RESCAL W): dense aggregation via the outer-
@@ -846,7 +850,10 @@ def apply_gradients(
             n_rows = model.num_rows(pname)
             ug = segment_mean_unique(idx, g, m, n_rows, premasked)
             if reg != 0.0 and pname in model.reg_row_params:
-                ug = ug._replace(grads=ug.grads + reg * params[pname][ug.uidx])
+                ug = ug._replace(
+                    grads=ug.grads
+                    + reg * model.reg_grad_rows(pname, params[pname][ug.uidx])
+                )
             if reg3 != 0.0 and pname in model.reg_row_params:
                 ug = ug._replace(
                     grads=ug.grads + (3.0 * reg3)
@@ -854,7 +861,7 @@ def apply_gradients(
                 )
             params[pname], opt_state[pname] = opt.apply_unique(
                 params[pname], opt_state[pname], ug,
-                model.post_constraints.get(pname),
+                model.post_constraints.get(pname), step=step,
             )
     elif aggregate == "dense":
         # XLA scatter carries a large FIXED cost per op on TPU, so row
@@ -895,7 +902,7 @@ def apply_gradients(
         raise ValueError(f"unknown aggregate mode {aggregate!r}")
     for pname, g in g_dense.items():
         params[pname], opt_state[pname] = opt.apply_full(
-            params[pname], opt_state[pname], g
+            params[pname], opt_state[pname], g, step=step
         )
     return params, opt_state
 
@@ -943,7 +950,8 @@ def make_pairwise_update(
             model, state.params, pos_rep, neg, pair_mask, margin
         )
         params, opt_state = apply_gradients(
-            model, opt, state.params, state.opt_state, occ, g_dense, aggregate
+            model, opt, state.params, state.opt_state, occ, g_dense,
+            aggregate, step=state.step,
         )
         new_state = TrainState(params, opt_state, state.key, state.step + 1)
         return new_state, StepMetrics(loss=loss, nviolations=nviol)
@@ -961,7 +969,8 @@ def make_pointwise_update(
             model, state.params, triples, ys, mask
         )
         params, opt_state = apply_gradients(
-            model, opt, state.params, state.opt_state, occ, g_dense, aggregate
+            model, opt, state.params, state.opt_state, occ, g_dense,
+            aggregate, step=state.step,
         )
         new_state = TrainState(params, opt_state, state.key, state.step + 1)
         return new_state, StepMetrics(
@@ -1000,7 +1009,7 @@ def make_pairwise_step(
             )
             params, opt_state = apply_gradients(
                 model, opt, state.params, state.opt_state, occ, g_dense,
-                aggregate, premasked=True,
+                aggregate, premasked=True, step=state.step,
             )
             new_state = TrainState(params, opt_state, key, state.step + 1)
             return new_state, StepMetrics(loss=loss, nviolations=nviol)
@@ -1016,7 +1025,7 @@ def make_pairwise_step(
             )
             params, opt_state = apply_gradients(
                 model, opt, state.params, state.opt_state, occ, g_dense,
-                aggregate, premasked=True,
+                aggregate, premasked=True, step=state.step,
             )
             new_state = TrainState(params, opt_state, key, state.step + 1)
             return new_state, StepMetrics(loss=loss, nviolations=nviol)
@@ -1065,7 +1074,7 @@ def make_selfadv_step(
         )
         params, opt_state = apply_gradients(
             model, opt, state.params, state.opt_state, occ, g_dense,
-            aggregate, premasked=True,
+            aggregate, premasked=True, step=state.step,
         )
         new_state = TrainState(params, opt_state, key, state.step + 1)
         return new_state, StepMetrics(
@@ -1105,11 +1114,11 @@ def make_ce_step(
         opt_state = dict(state.opt_state)
         for pname, g in grads.items():
             if reg != 0.0 and pname in model.reg_row_params:
-                g = g + reg * params[pname]
+                g = g + reg * model.reg_grad_rows(pname, params[pname])
             if reg3 != 0.0 and pname in model.reg_row_params:
                 g = g + (3.0 * reg3) * model.n3_grad_rows(pname, params[pname])
             params[pname], opt_state[pname] = opt.apply_full(
-                params[pname], opt_state[pname], g
+                params[pname], opt_state[pname], g, step=state.step
             )
             post = model.post_constraints.get(pname)
             if post is not None:
@@ -1147,7 +1156,7 @@ def make_pointwise_step(
             )
             params, opt_state = apply_gradients(
                 model, opt, state.params, state.opt_state, occ, g_dense,
-                aggregate, premasked=True,
+                aggregate, premasked=True, step=state.step,
             )
             new_state = TrainState(params, opt_state, key, state.step + 1)
             return new_state, StepMetrics(

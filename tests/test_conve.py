@@ -212,3 +212,33 @@ def test_trains_with_ce_on_reciprocal_kg():
         state.params
     )
     assert r.mrr > 5.0 / ds.n_entities
+
+
+def test_rparam_leaves_output_bias_column_unregularized():
+    """SGD-linearity oracle: (step with rparam) - (step with rparam=0) must
+    equal -lr * rparam * E with the trailing bias column ZEROED (the paper
+    leaves output biases unregularized — reg_grad_rows masks column d),
+    and exactly -lr * rparam * R on the relation table."""
+    from skge_tpu import SGD, make_ce_step
+
+    LR, RP = 0.1, 0.07
+    deltas = {}
+    for rp in (RP, 0.0):
+        model, params = build(rparam=rp)
+        opt = SGD(lr=LR)
+        step = make_ce_step(model, opt, directions=("o",))
+        state = init_state(model, opt, jax.random.PRNGKey(0))
+        state = state._replace(params=params)
+        pos = jnp.asarray(batch())
+        new_state, _ = jax.jit(step)(state, pos, jnp.ones(B, jnp.float64))
+        deltas[rp] = new_state.params
+    for pname, mask_last in (("E", True), ("R", False)):
+        p0 = np.asarray(deltas[0.0][pname])  # same init both runs
+        d = np.asarray(deltas[RP][pname]) - p0
+        model, params = build(rparam=RP)
+        expect = -LR * RP * np.asarray(params[pname])
+        if mask_last:
+            expect[:, -1] = 0.0
+        # remove the shared CE-gradient part: both runs share it exactly
+        # only under SGD, where updates are linear in the gradient
+        np.testing.assert_allclose(d, expect, rtol=1e-11, atol=1e-13)

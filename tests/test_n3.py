@@ -17,7 +17,7 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 
-from skge_tpu import SGD, AdaGrad, ComplEx, DistMult, SimplE, training  # noqa: E402
+from skge_tpu import SGD, AdaGrad, ComplEx, DistMult, QuatE, SimplE, training  # noqa: E402
 
 N_E, N_R, D, B, K = 60, 4, 6, 16, 7
 LR, N3 = 0.1, 0.05
@@ -43,6 +43,11 @@ def np_n3_rows(cls, x):
         a, b = x[..., :d], x[..., d:]
         m = np.sqrt(a * a + b * b)
         return np.concatenate([m * a, m * b], axis=-1)
+    if cls is QuatE:
+        d = x.shape[-1] // 4
+        a, b, c, e = (x[..., i * d:(i + 1) * d] for i in range(4))
+        m = np.sqrt(a * a + b * b + c * c + e * e)
+        return np.concatenate([m * a, m * b, m * c, m * e], axis=-1)
     return x * np.abs(x)
 
 
@@ -63,7 +68,7 @@ def _one_step(cls, n3, aggregate, seed=3):
     return params, new, occ
 
 
-@pytest.mark.parametrize("cls", [DistMult, ComplEx, SimplE])
+@pytest.mark.parametrize("cls", [DistMult, ComplEx, SimplE, QuatE])
 @pytest.mark.parametrize("aggregate", ["unique", "dense"])
 def test_n3_delta_matches_closed_form(cls, aggregate):
     params, with_n3, occ = _one_step(cls, N3, aggregate)
