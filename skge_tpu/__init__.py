@@ -35,6 +35,7 @@ from skge_tpu.training import (
     TrainState,
     init_state,
     make_ce_step,
+    make_sampled_ce_step,
     make_epoch_fn,
     make_pairwise_step,
     make_pointwise_step,
@@ -83,6 +84,7 @@ __all__ = [
     "TrainState",
     "init_state",
     "make_ce_step",
+    "make_sampled_ce_step",
     "make_pairwise_step",
     "make_pointwise_step",
     "make_selfadv_step",

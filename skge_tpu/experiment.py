@@ -120,9 +120,12 @@ class Experiment:
                 "%d, train doubled to %d)",
                 self.ds.n_relations, len(self.ds.train),
             )
-            if args.trainer != "single":
+            if args.trainer == "outofcore" or (
+                args.trainer != "single" and args.model == "conve"
+            ):
                 raise SystemExit(
-                    "reciprocal training supports --trainer single only"
+                    "reciprocal training supports --trainer single or "
+                    "partitioned (non-ConvE models)"
                 )
         model_cls = MODELS[args.model]
         kw = {}
@@ -158,7 +161,11 @@ class Experiment:
             schedule_min=args.schedule_min,
             margin=args.margin,
             pairwise=not args.no_pairwise,
-            loss="ce" if args.ce else ("selfadv" if args.selfadv else "margin"),
+            loss=(
+                "ce" if args.ce else
+                "sampled_ce" if args.sampled_ce else
+                "selfadv" if args.selfadv else "margin"
+            ),
             adv_alpha=args.adv_alpha,
             label_smoothing=args.label_smoothing,
             ce_directions=("o",) if reciprocal else ("o", "s"),
@@ -166,6 +173,8 @@ class Experiment:
             seed=args.seed,
             metrics_jsonl=args.metrics,
         )
+        if args.sampled_ce and args.sampler != "shared":
+            raise SystemExit("--sampled-ce needs --sampler shared")
         if args.trainer == "single":
             sampler = build_sampler(
                 args.sampler, self.ds, args.ntries, args.k,
@@ -183,8 +192,9 @@ class Experiment:
                 ignored.append(f"--aggregate {args.aggregate}")
             if args.no_pairwise:
                 ignored.append("--no-pairwise (pairwise only)")
-            if args.ce:
-                ignored.append("--ce (pairwise only)")
+            if args.sampled_ce:
+                ignored.append("--sampled-ce (single-device only; use "
+                               "--ce on scale-out trainers)")
             if args.metrics:
                 ignored.append("--metrics (use trainer.metrics)")
             if ignored:
@@ -275,7 +285,10 @@ class Experiment:
                 total=args.me * args.nb, min_scale=args.schedule_min,
             ),
         )
-        loss = "selfadv" if args.selfadv else "margin"
+        loss = "ce" if args.ce else (
+            "selfadv" if args.selfadv else "margin"
+        )
+        reciprocal = args.reciprocal
         if args.trainer == "partitioned":
             from skge_tpu.parallel.partitioned import (
                 PartitionedTrainer, make_shard_mesh,
@@ -285,6 +298,8 @@ class Experiment:
                 self.model, opt, self.ds.train, make_shard_mesh(),
                 margin=args.margin, k=args.k, nbatches=args.nb,
                 seed=args.seed, loss=loss, adv_alpha=args.adv_alpha,
+                reciprocal=reciprocal and loss == "ce",
+                label_smoothing=args.label_smoothing,
             )
 
             def eval_split(split):
@@ -298,6 +313,7 @@ class Experiment:
                 self.model, opt, self.ds.train, n_parts=args.parts,
                 margin=args.margin, k=args.k, nbatches=args.nb,
                 seed=args.seed, loss=loss, adv_alpha=args.adv_alpha,
+                label_smoothing=args.label_smoothing,
             )
 
             def eval_split(split):
@@ -352,7 +368,7 @@ class Experiment:
                 from skge_tpu.evaluation import evaluate
 
                 res = evaluate(
-                    self.model,
+                    self._eval_model,
                     {k: jnp.asarray(v) for k, v in best_params.items()},
                     self.ds.test, self.ds.all_triples(),
                     batch_size=args.eval_batch,
@@ -447,6 +463,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--ce", action="store_true",
                    help="full 1-vs-all cross-entropy loss (no sampler; "
                    "overrides --sampler/--selfadv)")
+    p.add_argument("--sampled-ce", dest="sampled_ce", action="store_true",
+                   help="SAMPLED softmax cross-entropy over a --k shared "
+                   "pool (importance-corrected; converges to --ce as k "
+                   "approaches n_entities — the 10^7+-vocabulary "
+                   "mid-ground; needs --sampler shared)")
     p.add_argument("--label-smoothing", type=float, default=0.0,
                    help="cross-entropy label smoothing (ConvE uses 0.1)")
     p.add_argument("--rparam", type=float, default=0.0)

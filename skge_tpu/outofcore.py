@@ -157,6 +157,8 @@ class OutOfCoreTrainer:
         prefetch: bool = True,
         loss: str = "margin",
         adv_alpha: float = 1.0,
+        ce_directions=("o", "s"),
+        label_smoothing: float = 0.0,
     ):
         """`pairwise=False` trains with the pointwise logistic loss
         (StochasticTrainer semantics, skge/base.py ~180) over the same
@@ -171,10 +173,19 @@ class OutOfCoreTrainer:
         self.margin = margin
         self.aggregate = aggregate
         self.pairwise = pairwise
-        if loss not in ("margin", "selfadv"):
+        if loss not in ("margin", "selfadv", "ce"):
             raise ValueError(f"unknown out-of-core loss {loss!r}")
         self.loss = loss
         self.adv_alpha = adv_alpha
+        # loss='ce': full cross-entropy against the RESIDENT partitions'
+        # candidate rows (the bucket's 1-2 parts) — the streamed/bucketed
+        # approximation of full-table CE (exact at n_parts=1, where the
+        # whole table is resident; pinned in tests/test_outofcore.py).
+        # For n_parts>1 the partition function runs over n_e/P (diagonal)
+        # or 2*n_e/P (off-diagonal) candidates per step, every one of them
+        # resident — no host<->device traffic beyond the usual part swaps.
+        self.ce_directions = tuple(ce_directions)
+        self.label_smoothing = float(label_smoothing)
         self.prefetch = prefetch
         t = np.asarray(triples, np.int32)
 
@@ -286,7 +297,14 @@ class OutOfCoreTrainer:
             sampler = BucketPoolSampler(
                 slot_stride=0 if diag else self.part_size, k=self.k
             )
-            if self.loss == "selfadv":
+            if self.loss == "ce":
+                from skge_tpu.training import make_ce_step
+
+                step = make_ce_step(
+                    bucket_model, self.opt, directions=self.ce_directions,
+                    label_smoothing=self.label_smoothing,
+                )
+            elif self.loss == "selfadv":
                 from skge_tpu.training import make_selfadv_step
 
                 step = make_selfadv_step(

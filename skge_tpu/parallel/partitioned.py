@@ -311,6 +311,238 @@ def make_partitioned_selfadv_step(
     return jax.jit(smapped, donate_argnums=(0,))
 
 
+def make_partitioned_ce_step(
+    model: KGEModel,
+    opt: Optimizer,
+    mesh: Mesh,
+    directions: Tuple[str, ...] = ("o", "s"),
+    label_smoothing: float = 0.0,
+    overlap: bool = True,
+):
+    """Partition-aligned FULL-CROSS-ENTROPY step (VERDICT r2 ask 2): the
+    framework's best-quality scheme on its billion-row layout.
+
+    Composition of the two existing pieces: the entity-sharded layout of
+    the pairwise partitioned step (each shard owns contiguous rows and its
+    subject-local triples) and the vocab-parallel softmax of
+    `make_shardmap_ce_step` — but where that step replicates every batch
+    across the model group (compute x M), here each shard contributes its
+    OWN batch and the gathered queries are scored once per candidate
+    block: total logit FLOPs equal the single-device step's, split P ways.
+
+        queries   all_gather of the (B, d)-ish slot rows   O(P*B*d) ICI
+        logits_l  (P*B, S) local MXU matmul per shard      no replication
+        softmax   max/sum-exp/label psums                  O(P*B) scalars
+
+    Gradients mirror the shardmap-CE recipe: autodiff w.r.t. (gathered
+    query rows, local candidate block, dense params) inside shard_map,
+    divide by P (psum-transpose replication — see make_shardmap_ce_step's
+    in-body note), complete query-row partials with one psum, and scatter
+    owned rows locally; candidate-block and dense gradients are whole
+    after the rescale. Updates run `apply_full` per shard slice — the
+    single-device CE convention (every row touched each step), so fp64
+    trajectories match `make_ce_step` on the same relabeled batch
+    (tests/test_partitioned.py::test_ce_*).
+
+    Notes: the contiguous relabeling's PADDING rows participate in the
+    partition function exactly as they do when running single-device CE
+    on the padded model (parity), receive only partition-function
+    gradients, and are masked out of candidates at evaluation
+    (PartitionedTrainer.evaluate). Direction 's' queries need object
+    rows, fetched with the same request-response exchange as the pairwise
+    path; with `directions=('o',)` (the reciprocal protocol) no entity
+    row ever crosses ICI in the forward gather.
+    """
+    epname, _, state_spec = partitioned_state_specs(model, opt)
+    p_size = mesh.shape[SHARD_AXIS]
+    n_e = model.n_entities
+    if n_e % p_size != 0:
+        raise ValueError(
+            f"n_entities={n_e} must be {p_size}*S — relabel with "
+            "relabel_entities and build the model with its n_padded"
+        )
+    s_rows = n_e // p_size
+    local_step = _build_ce_local_step(
+        model, opt, epname, s_rows, directions, label_smoothing, overlap
+    )
+
+    def block_step(state: TrainState, batch, mask):
+        return local_step(state, batch[0], mask[0])
+
+    smapped = jax.shard_map(
+        block_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
+        out_specs=(state_spec, StepMetrics(loss=P(), nviolations=P())),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
+def _build_ce_local_step(
+    model, opt, epname, s_rows, directions, label_smoothing, overlap=True
+):
+    """Per-shard CE step body (see make_partitioned_ce_step)."""
+    n_e = model.n_entities
+    slot_spec = model.slot_spec()
+    ls = float(label_smoothing)
+    need_roles = {"p"}
+    if "o" in directions:
+        need_roles.add("s")
+    if "s" in directions:
+        need_roles.add("o")
+
+    def local_step(state: TrainState, batch, mask):
+        params = state.params
+        me = jax.lax.axis_index(SHARD_AXIS)
+        p_sz = jax.lax.axis_size(SHARD_AXIS)
+        row_off = me * s_rows
+        s, o, p = batch[:, 0], batch[:, 1], batch[:, 2]
+        role_idx = {"s": s, "o": o, "p": p}
+
+        def local_rows(idx):
+            local = idx - row_off
+            own = jnp.logical_and(local >= 0, local < s_rows)
+            rows = params[epname][jnp.clip(local, 0, s_rows - 1)]
+            return jnp.where(
+                own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
+            )
+
+        def exchange(answers):
+            if overlap:  # async-fusable; value-identical (one owner/row)
+                blocks = answers.reshape((p_sz, -1) + answers.shape[1:])
+                recv = jax.lax.all_to_all(
+                    blocks, SHARD_AXIS, split_axis=0, concat_axis=0
+                )
+                return jnp.sum(recv, axis=0)
+            return jax.lax.psum_scatter(
+                answers, SHARD_AXIS, scatter_dimension=0, tiled=True
+            )
+
+        def gather(pname, idx, role):
+            if pname != epname:
+                return params[pname][idx]
+            if role == "s":  # subject rows are shard-local by construction
+                return params[epname][idx - row_off]
+            all_ids = jax.lax.all_gather(idx, SHARD_AXIS)
+            return exchange(local_rows(all_ids.reshape(-1)))
+
+        rows = {
+            slot: gather(pname, role_idx[role], role)
+            for slot, pname, role in slot_spec if role in need_roles
+        }
+
+        def ag(x):  # replicate every shard's batch-aligned array
+            g = jax.lax.all_gather(x, SHARD_AXIS)
+            return g.reshape((-1,) + g.shape[2:])
+
+        rows_all = {k: ag(v) for k, v in rows.items()}
+        mask_all = ag(mask)
+        labels_all = {d: ag(role_idx[d]) for d in directions}
+        idx_all = {r: ag(role_idx[r]) for r in need_roles}
+        e_local = params[epname]
+        dense = model.dense_params(params)
+        barange = jnp.arange(mask_all.shape[0])
+        denom = jnp.maximum(jnp.sum(mask_all), 1.0)
+
+        def loss_fn(rows_all, e_local, dense):
+            total = 0.0
+            for d in directions:
+                mode = {"o": 1, "s": 0}[d]
+                labels = labels_all[d]
+                logits_l = model.score_pool(rows_all, e_local, dense, mode)
+                mrow = jnp.max(
+                    jax.lax.all_gather(
+                        jnp.max(logits_l, axis=1), SHARD_AXIS
+                    ),
+                    axis=0,
+                )
+                se = jax.lax.psum(
+                    jnp.sum(jnp.exp(logits_l - mrow[:, None]), axis=1),
+                    SHARD_AXIS,
+                )
+                logz = jnp.log(se) + mrow
+                ll = labels - row_off
+                own = jnp.logical_and(ll >= 0, ll < s_rows)
+                fl = logits_l[barange, jnp.clip(ll, 0, s_rows - 1)]
+                f_label = jax.lax.psum(jnp.where(own, fl, 0.0), SHARD_AXIS)
+                nll = logz - f_label
+                if ls:
+                    sum_logits = jax.lax.psum(
+                        jnp.sum(logits_l, axis=1), SHARD_AXIS
+                    )
+                    mean_logp = sum_logits / n_e - logz
+                    nll = (1.0 - ls) * nll - ls * mean_logp
+                total = total + jnp.sum(nll * mask_all)
+            return total / denom
+
+        loss, (g_rows, g_cand, g_dense) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2)
+        )(rows_all, e_local, dense)
+        # /P cotangent rescale + query-row completion: identical reasoning
+        # to make_shardmap_ce_step's in-body note — every logits->loss path
+        # crosses a shard-axis collective, whose shard_map transpose sums
+        # the replicated downstream cotangents, so local grads are P * the
+        # true partial. The candidate-block partial is then already the
+        # whole gradient for owned rows (every query's contribution to my
+        # block is computed on MY shard); query-row and dense partials need
+        # one completion psum.
+        psz = float(jax.lax.axis_size(SHARD_AXIS))
+        g_rows = {
+            k: jax.lax.psum(g / psz, SHARD_AXIS) for k, g in g_rows.items()
+        }
+        g_cand = g_cand / psz
+        g_dense = {
+            k: jax.lax.psum(g / psz, SHARD_AXIS) for k, g in g_dense.items()
+        }
+
+        g_tables = {epname: g_cand}
+        for slot, pname, role in slot_spec:
+            if slot not in g_rows:
+                continue
+            g = g_rows[slot]  # (P*B, ...) full grads, replicated
+            ids = idx_all[role]
+            if pname == epname:
+                local = ids - row_off
+                owng = jnp.logical_and(local >= 0, local < s_rows)
+                g_tables[pname] = g_tables[pname].at[
+                    jnp.where(owng, local, s_rows)
+                ].add(g, mode="drop")
+            else:  # replicated table: identical scatter on every shard
+                g_tables[pname] = g_tables.get(
+                    pname, jnp.zeros_like(params[pname])
+                ).at[ids].add(g)
+        for pname, g in g_dense.items():
+            g_tables[pname] = g_tables.get(pname, 0.0) + g
+
+        reg = model.regularization
+        reg3 = model.regularization_n3
+        new_params = dict(params)
+        new_opt = dict(state.opt_state)
+        for pname, g in g_tables.items():
+            if reg != 0.0 and pname in model.reg_row_params:
+                g = g + reg * model.reg_grad_rows(pname, new_params[pname])
+            if reg3 != 0.0 and pname in model.reg_row_params:
+                g = g + (3.0 * reg3) * model.n3_grad_rows(
+                    pname, new_params[pname]
+                )
+            new_params[pname], new_opt[pname] = opt.apply_full(
+                new_params[pname], new_opt[pname], g, step=state.step
+            )
+            post = model.post_constraints.get(pname)
+            if post is not None:
+                from skge_tpu.optim import POST_CONSTRAINTS
+
+                new_params[pname] = POST_CONSTRAINTS[post](new_params[pname])
+        key, _ = jax.random.split(state.key)  # keep key-stream parity
+        new_state = TrainState(new_params, new_opt, key, state.step + 1)
+        return new_state, StepMetrics(
+            loss=loss, nviolations=jnp.zeros((), loss.dtype)
+        )
+
+    return local_step
+
+
 def partitioned_state_specs(model, opt):
     """(epname, per-param PartitionSpecs, TrainState-of-PartitionSpecs)
     for the partitioned placement: entity table row-sharded over 'shard',
@@ -694,10 +926,17 @@ def make_partitioned_epoch(
     debug_checks: bool = False,
     loss: str = "margin",
     adv_alpha: float = 1.0,
+    directions: Tuple[str, ...] = ("o", "s"),
+    label_smoothing: float = 0.0,
 ):
     """Jitted epoch over partitioned batches: per-shard on-device shuffle
     + minibatch scan of the partitioned step (the `make_epoch_fn`
     equivalent for the edge-partitioned path).
+
+    `loss='ce'` runs the full-cross-entropy step
+    (make_partitioned_ce_step; `directions`/`label_smoothing` apply,
+    sampler/margin/boundary_cap are ignored — CE has no sampler and its
+    entity gradient is dense).
 
     Call: `epoch(state, batches, mask)` with the SAME (P, L, 3) / (P, L)
     inputs as the single step; returns (state, StepMetrics) with (nb,)
@@ -720,17 +959,22 @@ def make_partitioned_epoch(
     cap = None if boundary_cap is None else min(boundary_cap, batch_size)
     if ragged and cap is None:
         raise ValueError("ragged exchange requires boundary_cap")
-    if loss not in ("margin", "selfadv"):
+    if loss not in ("margin", "selfadv", "ce"):
         raise ValueError(f"unknown partitioned loss {loss!r}")
     if loss == "selfadv" and not hasattr(sampler, "pool"):
         raise ValueError(
             "loss='selfadv' needs a shared-pool sampler (the softmax "
             "difficulty weights are defined over a candidate pool)"
         )
-    local_step = _build_local_step(
-        model, opt, sampler, margin, epname, s_rows, shared, cap, overlap,
-        ragged, debug_checks, loss_kind=loss, alpha=adv_alpha,
-    )
+    if loss == "ce":
+        local_step = _build_ce_local_step(
+            model, opt, epname, s_rows, directions, label_smoothing, overlap
+        )
+    else:
+        local_step = _build_local_step(
+            model, opt, sampler, margin, epname, s_rows, shared, cap,
+            overlap, ragged, debug_checks, loss_kind=loss, alpha=adv_alpha,
+        )
 
     def local_epoch(state: TrainState, batch, mask):
         batch = batch[0]  # (1, L, 3) -> (L, 3)
@@ -876,7 +1120,16 @@ class PartitionedTrainer:
         ragged=False,
         loss: str = "margin",
         adv_alpha: float = 1.0,
+        reciprocal: bool = False,
+        label_smoothing: float = 0.0,
     ):
+        """`loss='ce'` trains full cross-entropy on the partitioned layout
+        (make_partitioned_ce_step); `reciprocal=True` (CE only) applies the
+        canonical reciprocal protocol: the caller passes triples ALREADY
+        augmented by data.add_reciprocal_relations and a model built with
+        the DOUBLED n_relations; training is object-direction-only and
+        `evaluate` routes head queries through the inverse relation
+        (ReciprocalEvalWrapper)."""
         from dataclasses import replace
 
         from skge_tpu.data import greedy_entity_partition, partition_edges
@@ -896,12 +1149,17 @@ class PartitionedTrainer:
         cap = max(1, object_boundary_cap(batches, s, mask))
         self.full_model = model
         self.model = replace(model, n_entities=n_pad)
+        if reciprocal and loss != "ce":
+            raise ValueError("reciprocal=True requires loss='ce'")
+        self.reciprocal = reciprocal
         sampler = RelabeledPoolSampler(self.new_of_old, k=k)
         length = batches.shape[1]
         self._epoch = make_partitioned_epoch(
             self.model, opt, sampler, margin, mesh,
             length=length, nbatches=max(1, min(nbatches, length)),
             boundary_cap=cap, ragged=ragged, loss=loss, adv_alpha=adv_alpha,
+            directions=("o",) if reciprocal else ("o", "s"),
+            label_smoothing=label_smoothing,
         )
         self._mesh = mesh
         self._state = init_state_partitioned(
@@ -988,8 +1246,13 @@ class PartitionedTrainer:
 
         cmask = np.zeros(self.model.n_entities, bool)
         cmask[self.new_of_old] = True
+        eval_model = self.model
+        if self.reciprocal:
+            from skge_tpu.evaluation import ReciprocalEvalWrapper
+
+            eval_model = ReciprocalEvalWrapper(self.model)
         ev = FilteredRankingEval(
-            self.model, remap(test), remap(known), batch_size, hits_at,
+            eval_model, remap(test), remap(known), batch_size, hits_at,
             mesh=self._mesh, axis=SHARD_AXIS, ties=ties,
             candidate_mask=cmask,
         )

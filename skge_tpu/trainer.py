@@ -127,12 +127,20 @@ class Trainer:
     # -- construction of the jitted epoch --
     def _build(self, n_triples: int):
         cfg = self.config
-        if cfg.loss not in ("margin", "selfadv", "ce"):
+        if cfg.loss not in ("margin", "selfadv", "ce", "sampled_ce"):
             raise ValueError(f"unknown loss {cfg.loss!r}")
         if self.mesh is not None:
             self._epoch_fn = self._build_mesh_epoch(n_triples)
             return
-        if cfg.loss == "ce":
+        if cfg.loss == "sampled_ce":
+            from skge_tpu.training import make_sampled_ce_step
+
+            step = make_sampled_ce_step(
+                self.model, self.opt, self.sampler,
+                tuple(cfg.ce_directions), cfg.label_smoothing,
+                cfg.aggregate,
+            )
+        elif cfg.loss == "ce":
             from skge_tpu.training import make_ce_step
 
             step = make_ce_step(

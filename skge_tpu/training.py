@@ -700,6 +700,154 @@ def ce_grads_all(
     return jax.value_and_grad(loss_fn)(params)
 
 
+def sampled_ce_grads_shared(
+    model: KGEModel,
+    params: Params,
+    pos: jnp.ndarray,        # (B, 3) positives, (s, o, p) columns
+    pool_idx: jnp.ndarray,   # (K,) shared candidate entity ids
+    mask: jnp.ndarray,       # (B,) batch validity
+    directions: Tuple[str, ...] = ("o", "s"),
+    label_smoothing: float = 0.0,
+    log_q: Optional[jnp.ndarray] = None,  # (K,) proposal log-probs
+    gather: Optional[Callable] = None,
+):
+    """SAMPLED softmax cross-entropy over a shared candidate pool.
+
+    No reference counterpart (build-scope; VERDICT r2 ask 3): the standard
+    mid-ground between pool-margin losses and full CE at 10^7+
+    vocabularies (Bengio & Senecal 2008; TF sampled_softmax / DGL-KE
+    lineage). Per valid positive with true-triple score f_pos and pool
+    scores f[b, k], the partition function is estimated with the
+    importance-corrected EXCLUSION form
+
+        Zhat_b = exp(f_pos_b)
+               + sum_k [pool_k != label_b] * exp(f[b,k] - log(K*q_k))
+
+    (q = the pool proposal; uniform 1/n_e when `log_q` is None), i.e. an
+    unbiased estimator of the full-softmax partition sum, and
+
+        nll_b = log Zhat_b - f_pos_b.
+
+    With K = n_e and the pool enumerating every entity exactly once the
+    correction vanishes and Zhat is the exact partition function, so this
+    REPRODUCES `ce_grads_all` exactly — pinned in fp64 by
+    tests/test_sampled_ce.py. Label smoothing uses the same
+    importance-corrected estimator of mean(logits).
+
+    Gradients are plain autodiff SUMS of the mean-over-valid loss — use
+    `apply_gradients(..., premasked=True, combine='sum')` so duplicate
+    occurrences add instead of averaging (the k=n_e identity needs sum
+    semantics). Compute is O(B*K*d) MXU work vs full CE's O(B*n_e*d);
+    the update touches only batch + pool rows.
+    """
+    s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
+    if gather is None:
+        gather = lambda pname, idx, role=None: params[pname][idx]  # noqa: E731
+    role_idx_map = {"s": s, "o": o, "p": p}
+    rows = {
+        slot: gather(pname, role_idx_map[role], role)
+        for slot, pname, role in model.slot_spec()
+    }
+    slot_by_role = {role: (slot, pname) for slot, pname, role in model.slot_spec()}
+    epname = slot_by_role["s"][1]
+    assert epname == slot_by_role["o"][1], "shared pool assumes one entity table"
+    pool_rows = gather(epname, pool_idx, "pool")
+    dense = model.dense_params(params)
+    k = pool_idx.shape[0]
+    n_e = model.n_entities
+    ls = float(label_smoothing)
+    n_valid = jnp.maximum(jnp.sum(mask), 1.0)
+    if log_q is None:
+        log_q = jnp.full((k,), -jnp.log(float(n_e)), mask.dtype)
+    corr = -(jnp.log(float(k)) + log_q)          # (K,) importance correction
+    labels = {"o": o, "s": s}
+
+    def loss_fn(rows, pool_rows, dense):
+        f_pos = model.score_from_rows(rows, dense)                    # (B,)
+        total = 0.0
+        for d in directions:
+            mode = {"o": 1, "s": 0}[d]
+            lab = labels[d]
+            f_pool = model.score_pool(rows, pool_rows, dense, mode)   # (B, K)
+            hit = pool_idx[None, :] == lab[:, None]  # exclusion form
+            logits = jnp.where(hit, -jnp.inf, f_pool + corr[None, :])
+            all_logits = jnp.concatenate([f_pos[:, None], logits], axis=1)
+            logz = jax.scipy.special.logsumexp(all_logits, axis=1)
+            nll = logz - f_pos
+            if ls:
+                # corrected estimator of mean(logits over ALL entities):
+                # (f_label + sum_k [k!=label] f_k / (K*q_k)) / n_e - logZhat
+                wsum = jnp.where(
+                    hit, 0.0, f_pool * jnp.exp(corr)[None, :]
+                ).sum(axis=1)
+                mean_logp = (f_pos + wsum) / n_e - logz
+                nll = (1.0 - ls) * nll - ls * mean_logp
+            total = total + jnp.sum(nll * mask)
+        return total / n_valid
+
+    loss, (g_rows, g_pool, g_dense) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2)
+    )(rows, pool_rows, dense)
+
+    # counts gate validity only (combine='sum' multiplies the averaged
+    # grads back by the row totals, so any positive per-occurrence count
+    # yields the exact sum); masked rows carry zero gradient AND zero count
+    occ: dict = {}
+    for slot, pname, role in model.slot_spec():
+        idxs, grads, counts = occ.setdefault(pname, ([], [], []))
+        idxs.append(role_idx_map[role])
+        grads.append(g_rows[slot])
+        counts.append(mask)
+    idxs, grads, counts = occ[epname]
+    idxs.append(pool_idx)
+    grads.append(g_pool)
+    counts.append(jnp.full((k,), 1.0, mask.dtype) * jnp.minimum(n_valid, 1.0))
+    occ = {
+        kk: (jnp.concatenate(i), jnp.concatenate(g), jnp.concatenate(c))
+        for kk, (i, g, c) in occ.items()
+    }
+    return loss, occ, g_dense
+
+
+def make_sampled_ce_step(
+    model: KGEModel,
+    opt: Optimizer,
+    sampler: Callable,
+    directions: Tuple[str, ...] = ("o", "s"),
+    label_smoothing: float = 0.0,
+    aggregate: str = "unique",
+):
+    """One sampled-softmax-CE step (see sampled_ce_grads_shared). Needs a
+    `pool`-protocol sampler; a sampler with unigram `logits` feeds the
+    proposal correction automatically."""
+    if not hasattr(sampler, "pool"):
+        raise ValueError("make_sampled_ce_step needs a shared-pool sampler")
+    logits = getattr(sampler, "logits", None)
+    log_q_table = None if logits is None else jax.nn.log_softmax(
+        jnp.asarray(logits)
+    )
+
+    def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
+        key, sk = jax.random.split(state.key)
+        pool_idx = sampler.pool(sk, batch, mask)
+        log_q = None if log_q_table is None else log_q_table[pool_idx]
+        loss, occ, g_dense = sampled_ce_grads_shared(
+            model, state.params, batch, pool_idx, mask,
+            directions=directions, label_smoothing=label_smoothing,
+            log_q=log_q,
+        )
+        params, opt_state = apply_gradients(
+            model, opt, state.params, state.opt_state, occ, g_dense,
+            aggregate, premasked=True, step=state.step, combine="sum",
+        )
+        new_state = TrainState(params, opt_state, key, state.step + 1)
+        return new_state, StepMetrics(
+            loss=loss, nviolations=jnp.zeros((), loss.dtype)
+        )
+
+    return step
+
+
 def pointwise_grads_shared_bilinear(
     model: KGEModel,
     params: Params,
@@ -791,6 +939,10 @@ def apply_gradients(
     aggregate: str = "unique",  # 'unique'|'dense' (SPMD)|'dense_pallas'|'dense_sorted'
     premasked: bool = False,    # occ grads pre-weighted, mask = counts
     step=None,                  # traced global step (lr schedules)
+    combine: str = "mean",      # 'mean' (reference duplicate-averaging) |
+                                # 'sum' (plain autodiff semantics; the
+                                # sampled-CE path needs sums so k=n_e
+                                # reproduces full CE exactly)
 ) -> Tuple[Params, OptState]:
     params = dict(params)
     opt_state = dict(opt_state)
@@ -809,6 +961,12 @@ def apply_gradients(
     seg_dense = partial(segment_mean_dense, backend=backend)
 
     def apply_dense_grads(pname, dg: DenseGrads):
+        if combine == "sum":
+            # the segment machinery averages over duplicate occurrences;
+            # multiplying back by the row count recovers the exact sum
+            # (count==0 rows stay zero and remain gated by the mask apply)
+            cnt = dg.count.reshape((-1,) + (1,) * (dg.grads.ndim - 1))
+            dg = dg._replace(grads=dg.grads * cnt)
         if reg != 0.0 and pname in model.reg_row_params:
             dg = dg._replace(
                 grads=dg.grads
@@ -849,6 +1007,11 @@ def apply_gradients(
         for pname, (idx, g, m) in occ.items():
             n_rows = model.num_rows(pname)
             ug = segment_mean_unique(idx, g, m, n_rows, premasked)
+            if combine == "sum":
+                cnt = ug.count.reshape(
+                    (-1,) + (1,) * (ug.grads.ndim - 1)
+                )
+                ug = ug._replace(grads=ug.grads * cnt)
             if reg != 0.0 and pname in model.reg_row_params:
                 ug = ug._replace(
                     grads=ug.grads

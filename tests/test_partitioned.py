@@ -607,3 +607,98 @@ def test_partitioned_trainer_selfadv_runs():
     ).fit(epochs=15)
     losses = [m["loss"] for m in tr.metrics]
     assert losses[-1] < losses[0] * 0.7
+
+
+@pytest.mark.parametrize("directions,ls", [
+    (("o", "s"), 0.0), (("o",), 0.1),
+])
+def test_partitioned_ce_matches_single_device(directions, ls):
+    """Partitioned full-cross-entropy step reproduces the single-device
+    make_ce_step trajectory in fp64 — same relabeled batch, same padded
+    model, both directions and the reciprocal (object-only, smoothed)
+    protocol. VERDICT r2 ask 2."""
+    from skge_tpu.models import DistMult
+    from skge_tpu.parallel.partitioned import make_partitioned_ce_step
+    from skge_tpu.training import make_ce_step
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(61, 6, n_train=400, seed=9, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    batches, mask, _ = partition_edges(rel, _range_part(n_pad, s), P_PARTS)
+    batches = jnp.asarray(batches)
+    mask = jnp.asarray(mask, jnp.float64)
+    opt = AdaGrad(lr=0.1)
+
+    for model in (
+        DistMult(n_pad, ds.n_relations, 12, dtype="float64"),
+        TransE(n_pad, ds.n_relations, 12, dtype="float64", l1=False),
+    ):
+        flat_batch = batches.reshape(-1, 3)
+        flat_mask = mask.reshape(-1)
+        ref_step = make_ce_step(
+            model, opt, directions=directions, label_smoothing=ls
+        )
+        ref = init_state(model, opt, jax.random.PRNGKey(4))
+        for _ in range(3):
+            ref, rm = jax.jit(ref_step)(ref, flat_batch, flat_mask)
+
+        mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+        step = make_partitioned_ce_step(
+            model, opt, mesh, directions=directions, label_smoothing=ls
+        )
+        state = shard_state_partitioned(
+            init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+        )
+        for _ in range(3):
+            state, m = step(state, batches, mask)
+        np.testing.assert_allclose(
+            float(m.loss), float(rm.loss), rtol=1e-12,
+            err_msg=f"{model.name} {directions} ls={ls}",
+        )
+        for k in ref.params:
+            np.testing.assert_allclose(
+                np.asarray(state.params[k]), np.asarray(ref.params[k]),
+                rtol=1e-10, atol=1e-13,
+                err_msg=f"{model.name} {directions} ls={ls} {k}",
+            )
+        assert (jnp.asarray(state.key) == jnp.asarray(ref.key)).all()
+        assert int(state.step) == int(ref.step) == 3
+
+
+def test_partitioned_trainer_ce_and_reciprocal():
+    """PartitionedTrainer(loss='ce') trains (loss drops, eval works); the
+    reciprocal variant routes head queries through inverse relations."""
+    from skge_tpu import Adam, PartitionedTrainer
+    from skge_tpu.data import add_reciprocal_relations, latent_kg
+    from skge_tpu.models import DistMult
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = latent_kg(n_entities=200, n_relations=5, n_train=800, n_valid=0,
+                   n_test=30, latent_dim=6, seed=2)
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+
+    model = DistMult(ds.n_entities, ds.n_relations, 16)
+    tr = PartitionedTrainer(
+        model, Adam(lr=1e-2), ds.train, mesh, nbatches=8, seed=0,
+        loss="ce", label_smoothing=0.1,
+    ).fit(epochs=12)
+    losses = [m["loss"] for m in tr.metrics]
+    assert losses[-1] < losses[0] * 0.8
+    res = tr.evaluate(ds.test, ds.all_triples(), batch_size=32)
+    assert res.mrr > 3.0 / ds.n_entities
+
+    aug = add_reciprocal_relations(ds)
+    model_r = DistMult(aug.n_entities, aug.n_relations, 16)
+    tr_r = PartitionedTrainer(
+        model_r, Adam(lr=1e-2), aug.train, mesh, nbatches=8, seed=0,
+        loss="ce", reciprocal=True, label_smoothing=0.1,
+    ).fit(epochs=12)
+    losses_r = [m["loss"] for m in tr_r.metrics]
+    assert losses_r[-1] < losses_r[0] * 0.8
+    # test triples keep ORIGINAL relation ids; head ranks route via p+half
+    res_r = tr_r.evaluate(ds.test, aug.all_triples(), batch_size=32)
+    assert res_r.mrr > 3.0 / ds.n_entities
