@@ -82,6 +82,21 @@ def main() -> None:
         "units = n_entities per positive per direction)",
     )
     ap.add_argument(
+        "--compute-dtype", default="", choices=["", "bfloat16", "float32"],
+        help="MXU input precision for the batched scoring matmuls "
+        "(KGEModel.compute_dtype). Parameters/optimizer/updates stay fp32; "
+        "'' (default) keeps exact fp32 scoring. 'bfloat16' is the "
+        "production mode for matmul-roofline-bound models (TransR's "
+        "quadratic sweep: fp32 dots run as 6-pass bf16 on TPU, so this is "
+        "~6x on the dominant matmuls).",
+    )
+    ap.add_argument(
+        "--factored", action="store_true",
+        help="[transr] rank-1 factored projections M_p = I + u_p v_p^T "
+        "(TransD-style) instead of full (d, d) matrices — removes the "
+        "per-triple projection-row traffic entirely (models/transr.py).",
+    )
+    ap.add_argument(
         "--selfadv", action="store_true",
         help="self-adversarial loss (Sun et al. 2019) over the shared pool "
         "instead of pairwise margin (same work units: 2 scores per "
@@ -124,7 +139,12 @@ def main() -> None:
     # pool in ONE mode, so pairs_per_positive halves.
     modes = (1,) if args.model == "conve" else (0, 1)
     n_rel = 2 * ds.n_relations if args.model == "conve" else ds.n_relations
-    model = MODELS[args.model](ds.n_entities, n_rel, args.ncomp)
+    mkw = {"compute_dtype": args.compute_dtype}
+    if args.factored:
+        if args.model != "transr":
+            ap.error("--factored is a TransR option")
+        mkw["factored"] = True
+    model = MODELS[args.model](ds.n_entities, n_rel, args.ncomp, **mkw)
     opt = AdaGrad(lr=0.1)
     if args.ce:
         from skge_tpu import make_ce_step

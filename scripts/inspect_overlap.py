@@ -26,8 +26,14 @@ for production runs.
 from __future__ import annotations
 
 import argparse
-import re
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from skge_tpu.utils.hloparse import analyze  # noqa: E402  (shared parser —
+# also drives the hardware-independent collective-bytes budget gate in
+# tests/test_collective_budget.py)
 
 ASYNC_FLAGS = {
     "xla_tpu_enable_async_collective_fusion": "true",
@@ -38,98 +44,6 @@ ASYNC_FLAGS = {
     "xla_tpu_enable_async_collective_fusion_fuse_reduce_scatter": "true",
     "xla_tpu_enable_async_all_to_all": "true",
 }
-
-_SHAPE_RE = re.compile(r"(f32|bf16|s32|u32|pred)\[([\d,]*)\]")
-
-
-def _bytes_of(line: str) -> int:
-    total = 0
-    m = _SHAPE_RE.search(line.split("=", 1)[-1])
-    if not m:
-        return 0
-    dt, dims = m.groups()
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    total = n * (1 if dt == "pred" else 4 if dt in ("f32", "s32", "u32") else 2)
-    return total
-
-
-def _cycles_of(line: str) -> int:
-    m = re.search(r'"estimated_cycles":"(\d+)"', line)
-    return int(m.group(1)) if m else 0
-
-
-_COLL_KINDS = ("all-gather", "all-reduce", "reduce-scatter",
-               "ragged-all-to-all", "all-to-all", "collective-permute")
-_START_RE = re.compile(
-    r"= .*?(?:async-collective-start|(?:%s)-start)\("
-    % "|".join(_COLL_KINDS)
-)
-_DONE_RE = re.compile(
-    r"= .*?(?:async-collective-done|(?:%s)-done)\((%%[\w.\-]+)\)"
-    % "|".join(_COLL_KINDS)
-)
-_SYNC_RE = re.compile(r"= .*? (%s)\(" % "|".join(_COLL_KINDS))
-
-
-def analyze(hlo: str):
-    """Parse the scheduled ENTRY computation; return per-collective overlap.
-
-    The TPU backend's final HLO is in schedule order; an async collective
-    appears as `<kind>-start` ... `<kind>-done` (or the async-collective-
-    fusion pass's `async-collective-start/done` wrappers). Everything
-    issued between a start and its done executes while the transfer is in
-    flight — summing those ops' `estimated_cycles` measures the overlap
-    the scheduler achieved.
-    """
-    entry = hlo.split("ENTRY")[-1].splitlines()
-    open_starts = {}  # op name -> record
-    records = []
-    sync_colls = []
-    for line in entry:
-        line = line.strip()
-        if not (line.startswith("%") or line.startswith("ROOT")):
-            continue
-        name = line.lstrip("ROOT ").split(" = ")[0].strip()
-        if _START_RE.search(line):
-            kind = "collective"
-            for k in _COLL_KINDS:
-                if k in line:
-                    kind = k
-                    break
-            open_starts[name] = {
-                "start": name, "kind": kind, "bytes": _bytes_of(line),
-                "overlap_cycles": 0, "ops_between": 0,
-            }
-        elif (m := _DONE_RE.search(line)):
-            src = m.group(1)
-            rec = None
-            if src in open_starts:
-                rec = open_starts.pop(src)
-            elif open_starts:  # done consumes a GTE of the start tuple
-                for k in list(open_starts):
-                    if k.split(".")[-1] in line:
-                        rec = open_starts.pop(k)
-                        break
-                if rec is None:
-                    rec = open_starts.popitem()[1]
-            if rec:
-                records.append(rec)
-        elif (sm := _SYNC_RE.search(line)):
-            sync_colls.append({
-                "kind": sm.group(1),
-                "bytes": _bytes_of(line),
-            })
-        else:
-            cyc = _cycles_of(line)
-            if cyc:
-                for rec in open_starts.values():
-                    rec["overlap_cycles"] += cyc
-                    rec["ops_between"] += 1
-    return records, sync_colls
-
 
 def build_step(boundary_cap: int, overlap: bool, ragged: bool = False, loss: str = "margin"):
     import jax

@@ -214,6 +214,20 @@ class KGEModel:
 
         return jax.vmap(one, out_axes=1)(pool_rows)
 
+    def score_pool_modes(
+        self, rows: Rows, pool_rows: jnp.ndarray, dense: Params, modes
+    ) -> Tuple[jnp.ndarray, ...]:
+        """`score_pool` for several corruption modes at once: tuple of (B, K).
+
+        Default just loops — for most models the modes share no work. Models
+        whose pool sweep has a mode-independent dominant term override this
+        so that term (and, through autodiff cotangent accumulation, its
+        backward matmuls) is computed ONCE per step instead of once per mode
+        (TransR: the (B, d^2) x (d^2, K) quadratic-form matmul)."""
+        return tuple(
+            self.score_pool(rows, pool_rows, dense, m) for m in modes
+        )
+
     def score_all_o(self, params: Params, s, p) -> jnp.ndarray:
         """Scores of (s, e, p) for every entity e: shape (B, n_entities)."""
         raise NotImplementedError

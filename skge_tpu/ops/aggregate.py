@@ -212,6 +212,31 @@ def segment_mean_dense(
                 ).at[indices].add(flat, mode="drop").reshape(
                     (num_rows,) + feat_shape
                 )
+        elif (
+            flat.dtype == jnp.float32
+            and num_rows * t * 2 <= 64 * 1024 * 1024
+        ):
+            # small destination table (e.g. TransR's (n_r, d, d) projection
+            # tables): ONE whole-table one-hot MXU matmul with the exact
+            # 3-term bf16 mantissa split — measured 2.8x over the XLA row
+            # scatter at the FB15k TransR shape, where that scatter was the
+            # hottest op in the whole train step (13.2 of 43 ms). Default
+            # for every backend here; 'pallas' was handled above.
+            from skge_tpu.ops.sorted_segment import segment_sum_onehot
+
+            gsum = segment_sum_onehot(indices, flat, num_rows).reshape(
+                (num_rows,) + feat_shape
+            )
+        elif backend == "sorted" and flat.dtype == jnp.float32:
+            from skge_tpu.ops.sorted_segment import segment_sum_sorted
+
+            # wide rows triple via the 3-term mantissa split, so shrink the
+            # chunk/band to keep the (band, 3F) block transient bounded
+            # (~70 MB at F=22500, band=256)
+            gsum = segment_sum_sorted(
+                indices, flat, num_rows, chunk=512,
+                band=min(512, max(1, num_rows)),
+            ).reshape((num_rows,) + feat_shape)
         else:
             gsum = jnp.zeros(
                 (num_rows, flat.shape[1]), g.dtype

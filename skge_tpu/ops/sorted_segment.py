@@ -161,3 +161,43 @@ def segment_sum_sorted(
         )
 
     return jax.lax.cond(overflow, fallback, banded, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rows",))
+def segment_sum_onehot(
+    indices: jnp.ndarray,   # (T,) int32
+    values: jnp.ndarray,    # (T, F) float32
+    num_rows: int,
+) -> jnp.ndarray:
+    """Whole-table one-hot MXU matmul segment-sum — no sort, no band.
+
+    For SMALL destination tables with WIDE rows (TransR's per-relation
+    (d, d) projection gradients: num_rows ~ 10^3, F = d^2 ~ 10^4+) the
+    banding machinery is pure overhead and the XLA row scatter is the
+    single hottest op in the train step (measured 13.2 ms of a 43 ms TransR
+    step on a v5e). Here the whole aggregation is ONE
+    (num_rows, T) x (T, 3F) matmul: the one-hot is exact in bf16, values
+    take the exact 3-term mantissa split, and the MXU does the duplicate
+    combining (measured 2.8x over the scatter at the FB15k TransR shape,
+    and closer to fp64 than the fp32 scatter, same as the banded form).
+
+    Memory: the one-hot is (num_rows, T) bf16 — callers gate on
+    num_rows * T (ops/aggregate.py uses <= 64 MiB).
+    """
+    if values.dtype != jnp.float32:
+        raise TypeError(
+            f"segment_sum_onehot is fp32-only, got {values.dtype}"
+        )
+    t, f = values.shape
+    indices = indices.astype(jnp.int32)
+    iota = jnp.arange(num_rows, dtype=jnp.int32)
+    # out-of-range ids (drop semantics) match no row of the iota
+    oh = (indices[None, :] == iota[:, None]).astype(jnp.bfloat16)
+    # three separate dots, NOT one dot against concat([h1,h2,h3], axis=1):
+    # the (T, 3F) bf16 concat materializes ~650 MB of pure data movement at
+    # the TransR shape (measured 3.1 ms of a 43 ms step); the one-hot lhs
+    # re-read is 13 MB
+    h1, h2, h3 = _split3(values)
+    acc = jax.lax.dot(oh, h1, preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot(oh, h2, preferred_element_type=jnp.float32)
+    return acc + jax.lax.dot(oh, h3, preferred_element_type=jnp.float32)

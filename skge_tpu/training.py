@@ -326,8 +326,9 @@ def pairwise_grads_shared(
         gp = af(model.score_from_rows(rows, dense))  # (B,)
         loss = 0.0
         fms = []
-        for mode in modes:
-            gn = af(model.score_pool(rows, pool_rows, dense, mode))  # (B, K)
+        f_negs = model.score_pool_modes(rows, pool_rows, dense, tuple(modes))
+        for mode, f_neg in zip(modes, f_negs):
+            gn = af(f_neg)                                           # (B, K)
             viol = jnp.logical_and(
                 gn + margin > gp[:, None], (mask > 0)[:, None]
             )
@@ -514,8 +515,8 @@ def pointwise_grads_shared(
     def loss_fn(rows, pool_rows, dense):
         f_pos = model.score_from_rows(rows, dense)          # (B,)
         loss = jnp.sum(jnp.logaddexp(0.0, -f_pos) * mask)   # y = +1
-        for mode in modes:
-            f_neg = model.score_pool(rows, pool_rows, dense, mode)  # (B, K)
+        f_negs = model.score_pool_modes(rows, pool_rows, dense, tuple(modes))
+        for f_neg in f_negs:                                # (B, K) per mode
             loss = loss + jnp.sum(
                 jnp.logaddexp(0.0, f_neg) * mask[:, None]   # y = -1
             )
@@ -602,8 +603,8 @@ def selfadv_grads_shared(
     def loss_fn(rows, pool_rows, dense):
         f_pos = model.score_from_rows(rows, dense)                    # (B,)
         loss = jnp.sum(jnp.logaddexp(0.0, -(f_pos + margin)) * mask)
-        for mode in modes:
-            f_neg = model.score_pool(rows, pool_rows, dense, mode)    # (B, K)
+        f_negs = model.score_pool_modes(rows, pool_rows, dense, tuple(modes))
+        for f_neg in f_negs:                                      # (B, K)
             w = jax.lax.stop_gradient(jax.nn.softmax(alpha * f_neg, axis=1))
             loss = loss + jnp.sum(
                 w * jnp.logaddexp(0.0, f_neg + margin) * mask[:, None]
@@ -765,10 +766,12 @@ def sampled_ce_grads_shared(
     def loss_fn(rows, pool_rows, dense):
         f_pos = model.score_from_rows(rows, dense)                    # (B,)
         total = 0.0
-        for d in directions:
-            mode = {"o": 1, "s": 0}[d]
+        f_pools = model.score_pool_modes(
+            rows, pool_rows, dense,
+            tuple({"o": 1, "s": 0}[d] for d in directions),
+        )
+        for d, f_pool in zip(directions, f_pools):        # (B, K) per dir
             lab = labels[d]
-            f_pool = model.score_pool(rows, pool_rows, dense, mode)   # (B, K)
             hit = pool_idx[None, :] == lab[:, None]  # exclusion form
             logits = jnp.where(hit, -jnp.inf, f_pool + corr[None, :])
             all_logits = jnp.concatenate([f_pos[:, None], logits], axis=1)

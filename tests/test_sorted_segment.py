@@ -101,3 +101,30 @@ def test_dense_sorted_step_matches_dense():
             np.asarray(a[0].params[k]), np.asarray(b[0].params[k]),
             atol=1e-5, rtol=1e-5, err_msg=k,
         )
+
+
+def test_wide_row_sorted_backend_matches_oracle():
+    """backend='sorted' now engages for WIDE rows too (>= 4096 features —
+    TransR's flattened (d, d) projection grads): segment_mean_dense must
+    route them through the banded matmul, not silently fall back, and match
+    the fp64 oracle to mantissa-split tolerance."""
+    from skge_tpu.ops.aggregate import segment_mean_dense
+
+    rng = np.random.default_rng(7)
+    t, f, rows = 300, 4608, 37
+    idx = rng.integers(0, rows, t).astype(np.int32)
+    vals = rng.standard_normal((t, f)).astype(np.float32)
+    mask = (rng.random(t) > 0.2).astype(np.float32)
+    got = segment_mean_dense(
+        jnp.asarray(idx), jnp.asarray(vals), jnp.asarray(mask), rows,
+        backend="sorted",
+    )
+    ref_sum = _ref(idx, vals * mask[:, None], rows)
+    cnt = np.zeros(rows)
+    for i, mk in zip(idx, mask):
+        cnt[i] += mk
+    ref_avg = ref_sum / np.maximum(cnt, 1.0)[:, None]
+    np.testing.assert_allclose(np.asarray(got.count), cnt, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.grads, np.float64), ref_avg, atol=5e-5, rtol=1e-5
+    )
