@@ -45,7 +45,9 @@ ASYNC_FLAGS = {
     "xla_tpu_enable_async_all_to_all": "true",
 }
 
-def build_step(boundary_cap: int, overlap: bool, ragged: bool = False, loss: str = "margin"):
+def build_step(boundary_cap: int, overlap: bool, ragged: bool = False,
+               loss: str = "margin", d: int = 128, k: int = 512,
+               L: int = 2048, s_rows: int = 4096):
     import jax
 
     # keep every runtime array on CPU: the AOT TPU compile only needs the
@@ -69,11 +71,12 @@ def build_step(boundary_cap: int, overlap: bool, ragged: bool = False, loss: str
 
     topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4")
     mesh = Mesh(np.asarray(topo.devices), (SHARD_AXIS,))
-    p_, s_rows, d = 8, 4096, 128
+    p_ = 8
+    s_rows = max(s_rows, boundary_cap)
     n_e = p_ * s_rows
     model = TransE(n_entities=n_e, n_relations=64, ncomp=d)
     opt = AdaGrad(lr=0.1)
-    sampler = RelabeledPoolSampler(np.arange(n_e), k=512)
+    sampler = RelabeledPoolSampler(np.arange(n_e), k=k)
     if loss == "selfadv":
         step = make_partitioned_selfadv_step(
             model, opt, sampler, 1.0, mesh,
@@ -101,11 +104,92 @@ def build_step(boundary_cap: int, overlap: bool, ragged: bool = False, loss: str
         key=sds((2,), jnp.uint32, sh.key),
         step=sds((), jnp.int32, sh.step),
     )
-    L = 2048
     batch = sds((p_, L, 3), jnp.int32,
                 NamedSharding(mesh, P(SHARD_AXIS, None, None)))
     mask = sds((p_, L), jnp.float32, NamedSharding(mesh, P(SHARD_AXIS)))
     return step.lower(state, batch, mask).compile(compiler_options=ASYNC_FLAGS)
+
+
+def sweep(caps, dims, k, L):
+    """Bytes-vs-hidden-cycles crossover table: dense+overlap vs ragged for
+    each (d, C), compiled-evidence decision next to the `choose_exchange`
+    cost-model prediction that `PartitionedTrainer(exchange='auto')` uses
+    (VERDICT r2 item 8). Exposed-cycle accounting:
+
+      dense:  per async collective max(0, bytes/ICI_BPC - overlapped_cycles),
+              summed; sync collectives fully exposed.
+      ragged: ragged buffers are static (P*C*d); expected transfer is
+              buffer/P (uniform owners), synchronous => fully exposed, plus
+              the fixed per-op latency the cost model carries.
+    """
+    import json
+
+    from skge_tpu.parallel.partitioned import (
+        ICI_BYTES_PER_CYCLE, RAGGED_LATENCY_CYCLES, choose_exchange,
+    )
+
+    p_ = 8
+    rows = []
+    for d in dims:
+        for cap in caps:
+            exposed = {}
+            detail = {}
+            for mode in ("dense", "ragged"):
+                compiled = build_step(
+                    cap, overlap=True, ragged=(mode == "ragged"),
+                    d=d, k=k, L=L,
+                )
+                recs, sync = analyze(compiled.as_text())
+                exp = 0.0
+                bytes_total = 0
+                for r in recs:
+                    exp += max(
+                        0.0, r["bytes"] / ICI_BYTES_PER_CYCLE
+                        - r["overlap_cycles"]
+                    )
+                    bytes_total += r["bytes"]
+                n_ragged = 0
+                for r in sync:
+                    if "ragged" in r["kind"]:
+                        exp += (r["bytes"] / p_) / ICI_BYTES_PER_CYCLE
+                        bytes_total += r["bytes"] // p_
+                        n_ragged += 1
+                    else:
+                        exp += r["bytes"] / ICI_BYTES_PER_CYCLE
+                        bytes_total += r["bytes"]
+                if n_ragged:
+                    exp += RAGGED_LATENCY_CYCLES
+                exposed[mode] = exp
+                detail[mode] = {
+                    "bytes": bytes_total,
+                    "overlapped_cycles": sum(
+                        r["overlap_cycles"] for r in recs
+                    ),
+                }
+            evidence = (
+                "ragged" if exposed["ragged"] < exposed["dense"] else "dense"
+            )
+            predicted, report = choose_exchange(
+                d=d, cap=cap, k=k, batch_per_shard=L, p=p_
+            )
+            row = {
+                "d": d, "cap": cap, "k": k, "L": L,
+                "dense_bytes": detail["dense"]["bytes"],
+                "dense_overlapped_cycles":
+                    detail["dense"]["overlapped_cycles"],
+                "dense_exposed_cycles": round(exposed["dense"]),
+                "ragged_bytes_expected": detail["ragged"]["bytes"],
+                "ragged_exposed_cycles": round(exposed["ragged"]),
+                "evidence_choice": evidence,
+                "model_choice": predicted,
+                "agree": evidence == predicted,
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    n_agree = sum(r["agree"] for r in rows)
+    print(f"# cost model agrees with compiled evidence on "
+          f"{n_agree}/{len(rows)} configs")
+    return rows
 
 
 def main() -> None:
@@ -117,7 +201,19 @@ def main() -> None:
                     "(P-fold exchange-volume reduction)")
     ap.add_argument("--dump", default=None, help="write full HLO here")
     ap.add_argument("--loss", default="margin", choices=["margin", "selfadv"])
+    ap.add_argument("--sweep", action="store_true",
+                    help="dense-vs-ragged crossover table over (d, C) "
+                    "(12 AOT compiles; see `sweep`)")
+    ap.add_argument("--sweep-caps", default="256,2048,8192")
+    ap.add_argument("--sweep-dims", default="64,256")
+    ap.add_argument("--k", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=2048)
     args = ap.parse_args()
+    if args.sweep:
+        sweep([int(c) for c in args.sweep_caps.split(",")],
+              [int(d) for d in args.sweep_dims.split(",")],
+              args.k, args.batch)
+        return
     compiled = build_step(args.boundary_cap, overlap=not args.no_overlap,
                           ragged=args.ragged, loss=args.loss)
     hlo = compiled.as_text()
