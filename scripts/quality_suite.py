@@ -229,11 +229,18 @@ def main(argv=None) -> None:
         ]
     if args.loss == "selfadv":
         # per-family selfadv gammas measured in RESULTS.md ("selfadv sweep
-        # across families"); lr 0.3, k 8192 unless --k overrides
+        # across families"); lr 0.3, k 8192 unless --k overrides. rparam is
+        # stripped for the bilinear family: round 2 measured it as the
+        # selfadv collapse trigger (RESCAL g=0.5 rparam=0 -> 0.108 vs
+        # collapse with rparam=0.01).
+        from dataclasses import replace as _rps
+
         gammas = {"TransE-L1": 6.0, "TransE-L2": 3.0, "TransH": 3.0,
-                  "PairRE": 3.0, "HolE": 1.0}
+                  "PairRE": 3.0, "HolE": 1.0, "RESCAL": 0.5, "TuckER": 0.5}
         configs = [
-            (n, m, gammas.get(n, 3.0), 0.3, args.k)
+            (n,
+             _rps(m, rparam=0.0) if hasattr(m, "rparam") else m,
+             gammas.get(n, 3.0), 0.3, args.k)
             for n, m, _, _, _ in configs if n != "ConvE"
         ]
     if args.models:

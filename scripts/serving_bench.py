@@ -38,6 +38,13 @@ def main() -> None:
                     help="compute_dtype='bfloat16' for the sweep matmuls "
                     "(params stay fp32; exactness of the top-K set is NOT "
                     "guaranteed at bf16 — measure the recall trade)")
+    ap.add_argument("--quantize", default="", choices=["", "int8", "bfloat16"],
+                    help="entity-table quantization (serving.py): 'int8' = "
+                    "4x HBM capacity / upload bytes, 'bfloat16' = 2x; "
+                    "approximate scores — pair with --recall")
+    ap.add_argument("--recall", action="store_true",
+                    help="also run the exact engine and report mean top-k "
+                    "overlap of the quantized results vs exact")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +74,8 @@ def main() -> None:
          rng.integers(0, args.relations, args.nqueries)], axis=1,
     ).astype(np.int32)
 
-    pred = LinkPredictor(model, params, known=known, batch_size=args.batch)
+    pred = LinkPredictor(model, params, known=known, batch_size=args.batch,
+                         quantize=args.quantize)
     # warmup: compile every pow2 filter-width kernel this stream will hit
     pred.top_k(queries, args.k, direction="o")
 
@@ -76,13 +84,26 @@ def main() -> None:
     dt = time.perf_counter() - t0
     assert res.entities.shape == (args.nqueries, args.k)
     qps = args.nqueries / dt
-    print(json.dumps({
+    rec = {
         "metric": f"{args.model}{'_l2' if args.l2 else ''}_filtered_top{args.k}_queries_per_s",
         "value": round(qps, 1),
         "unit": "queries/s",
         "batch": args.batch,
         "entities": args.entities,
-    }))
+    }
+    if args.quantize:
+        rec["quantize"] = args.quantize
+    if args.recall and args.quantize:
+        exact = LinkPredictor(
+            model, params, known=known, batch_size=args.batch,
+        ).top_k(queries, args.k, direction="o")
+        import numpy as _np
+
+        rec["recall_vs_exact"] = round(float(_np.mean([
+            len(set(a) & set(b)) / args.k
+            for a, b in zip(exact.entities, res.entities)
+        ])), 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

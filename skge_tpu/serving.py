@@ -51,8 +51,27 @@ __all__ = [
     "LinkPredictor",
     "StreamedLinkPredictor",
     "TopKResult",
+    "quantize_table_int8",
     "top_k_candidates",
 ]
+
+
+def quantize_table_int8(table) -> Dict[str, np.ndarray]:
+    """Symmetric per-row int8 quantization of an embedding table.
+
+    Returns {'q': int8 (n, ...), 'scale': f32 (n, 1...)} with
+    dequantization `q * scale`. Per-row absmax/127 scaling: rows are the
+    unit of retrieval, so each row keeps its own dynamic range (a single
+    hub entity with large norm must not crush everyone else's precision).
+    The quantized table is 4x smaller than fp32 — 4x more entities per
+    device HBM for the in-HBM engine, 4x fewer host->device bytes per
+    chunk for the streamed engine.
+    """
+    t = np.asarray(table, np.float32)
+    absmax = np.max(np.abs(t), axis=tuple(range(1, t.ndim)), keepdims=True)
+    scale = (absmax / 127.0 + np.float32(1e-30)).astype(np.float32)
+    q = np.clip(np.rint(t / scale), -127, 127).astype(np.int8)
+    return {"q": q, "scale": scale}
 
 
 @dataclass
@@ -79,18 +98,46 @@ def _entity_param(model: KGEModel) -> str:
     return by_role["o"]
 
 
-def _query_rows(model: KGEModel, params: Params, ent, rel, direction: str):
+def _deq_table(qe, quantize: str):
+    """Full dequantized candidate table (XLA fuses the elementwise dequant
+    into the consuming sweep matmul's operand stream)."""
+    if quantize == "int8":
+        return qe["q"].astype(jnp.float32) * qe["scale"]
+    if quantize == "bfloat16":
+        return qe.astype(jnp.float32)
+    return qe
+
+
+def _deq_rows(qe, idx, quantize: str):
+    if quantize == "int8":
+        return qe["q"][idx].astype(jnp.float32) * qe["scale"][idx]
+    if quantize == "bfloat16":
+        return qe[idx].astype(jnp.float32)
+    return qe[idx]
+
+
+def _query_rows(model: KGEModel, params: Params, ent, rel, direction: str,
+                quantize: str = ""):
     """Gathered rows for (ent, rel) queries with the predicted slot zeroed.
 
     direction 'o' predicts objects (query ent is the subject, score_pool
     mode 1); 's' predicts subjects (query ent is the object, mode 0). The
     substituted slot's gathered row is irrelevant — score_pool replaces it
-    with each candidate — so index 0 stands in.
+    with each candidate — so index 0 stands in. Entity rows dequantize per
+    gather under `quantize`.
     """
+    epname = _entity_param(model)
     zeros = jnp.zeros_like(ent)
-    if direction == "o":
-        return model.gather_rows(params, ent, zeros, rel)
-    return model.gather_rows(params, zeros, ent, rel)
+    s_idx, o_idx = (ent, zeros) if direction == "o" else (zeros, ent)
+    idx_by_role = {"s": s_idx, "o": o_idx, "p": rel}
+    rows = {}
+    for slot, pname, role in model.slot_spec():
+        idx = idx_by_role[role]
+        if pname == epname:
+            rows[slot] = _deq_rows(params[pname], idx, quantize)
+        else:
+            rows[slot] = params[pname][idx]
+    return rows
 
 
 _MODE = {"o": 1, "s": 0}
@@ -149,8 +196,30 @@ class LinkPredictor:
         batch_size: int = 1024,
         mesh=None,
         axis: str = "model",
+        quantize: str = "",
     ):
+        """`quantize` compresses the (dominant) entity table in HBM:
+        'int8' — per-row symmetric int8 (4x capacity; approximate scores,
+        measure recall with scripts/serving_bench.py --recall), 'bfloat16'
+        — plain cast (2x). Other params stay fp32; queries dequantize per
+        gather and candidates per sweep, inside the jitted kernel."""
         self.model = model
+        self.quantize = quantize
+        if quantize not in ("", "int8", "bfloat16"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        if quantize:
+            epname = _entity_param(model)
+            params = dict(params)
+            if quantize == "int8":
+                qt = quantize_table_int8(params[epname])
+                params[epname] = {
+                    "q": jnp.asarray(qt["q"]),
+                    "scale": jnp.asarray(qt["scale"]),
+                }
+            else:
+                params[epname] = jnp.asarray(
+                    params[epname], jnp.bfloat16
+                )
         self.params = params
         self.batch_size = int(batch_size)
         self.mesh = mesh
@@ -187,11 +256,13 @@ class LinkPredictor:
         model = self.model
         mode = _MODE[direction]
         epname = _entity_param(model)
+        quant = self.quantize
 
         def kernel(params, ent, rel, frows, fents):
-            rows = _query_rows(model, params, ent, rel, direction)
+            rows = _query_rows(model, params, ent, rel, direction, quant)
             scores = model.score_pool(
-                rows, params[epname], model.dense_params(params), mode
+                rows, _deq_table(params[epname], quant),
+                model.dense_params(params), mode
             )  # (B, n_e)
             scores = scores.at[frows, fents].set(NEG_INF, mode="drop")
             vals, ids = jax.lax.top_k(scores, k)
@@ -205,6 +276,7 @@ class LinkPredictor:
         model = self.model
         mode = _MODE[direction]
         epname = _entity_param(model)
+        quant = self.quantize
         mesh, axis = self.mesh, self.axis
         m_size = int(mesh.shape[axis])
         shard_rows = model.n_entities // m_size
@@ -232,13 +304,16 @@ class LinkPredictor:
                     continue
                 loc = idx - off
                 own = jnp.logical_and(loc >= 0, loc < shard_rows)
-                r = params[pname][jnp.clip(loc, 0, shard_rows - 1)]
+                r = _deq_rows(
+                    params[pname], jnp.clip(loc, 0, shard_rows - 1), quant
+                )
                 r = jnp.where(
                     own.reshape(own.shape + (1,) * (r.ndim - 1)), r, 0
                 )
                 rows[slot] = jax.lax.psum(r, axis)
             scores = model.score_pool(
-                rows, params[epname], model.dense_params(params), mode
+                rows, _deq_table(params[epname], quant),
+                model.dense_params(params), mode
             )  # (B, shard_rows) — this shard's candidate slice
             # filter: global entity ids -> local; foreign rows routed to an
             # always-dropped positive index (negative ids would wrap)
@@ -368,13 +443,35 @@ class StreamedLinkPredictor:
         known: Optional[np.ndarray] = None,
         batch_size: int = 256,
         chunk: int = 65536,
+        quantize: str = "",
     ):
+        """`quantize='int8'` stores the HOST table quantized (4x less host
+        RAM) and — the real win here — uploads each candidate chunk as
+        int8 + per-row scales: 4x fewer host->device bytes on the
+        streaming path, which is upload-bound by construction. 'bfloat16'
+        halves both. Scores are approximate; query rows dequantize from
+        the same representation so the engine is self-consistent."""
         self.model = model
+        self.quantize = quantize
+        if quantize not in ("", "int8", "bfloat16"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         self.batch_size = int(batch_size)
         self.chunk = int(min(chunk, model.n_entities))
         epname = _entity_param(model)
         self._epname = epname
         self._E = np.asarray(params_host[epname])
+        if quantize == "int8":
+            self._Eq = quantize_table_int8(self._E)
+            # host query gathers read the dequantized values so the engine
+            # is consistent with what the device sweep sees
+            self._E = self._Eq["q"].astype(np.float32) * self._Eq["scale"]
+        elif quantize == "bfloat16":
+            import jax.numpy as _jnp  # bf16 rounding via jnp, stored as np
+
+            self._Eq = None
+            self._E = np.asarray(
+                _jnp.asarray(self._E, _jnp.bfloat16)
+            )  # bf16-typed numpy array (uploads at 2 bytes/elem)
         # non-entity params live on device
         self._small = {
             kname: jnp.asarray(v)
@@ -398,12 +495,16 @@ class StreamedLinkPredictor:
         mode = _MODE[direction]
         slots = _role_slots(model)
         qslot = slots["s"] if direction == "o" else slots["o"]
+        quant = self.quantize
 
-        def fold(small, qrows_bundle, chunk_rows, base, valid,
+        def fold(small, qrows_bundle, chunk_payload, base, valid,
                  frows, fents, best_vals, best_ids):
             # rebuild the rows dict: query-entity rows came from the host,
-            # relation rows gather from the resident table
+            # relation rows gather from the resident table. The chunk
+            # payload dequantizes here — int8 uploads 4x fewer bytes on
+            # the (upload-bound) streaming path.
             rows = dict(qrows_bundle)
+            chunk_rows = _deq_table(chunk_payload, quant)
             params = dict(small)
             params[self._epname] = chunk_rows  # only for dense_params safety
             scores = model.score_pool(
@@ -466,7 +567,10 @@ class StreamedLinkPredictor:
                         "s": ent if direction == "o" else np.zeros_like(ent),
                         "o": ent if direction == "s" else np.zeros_like(ent),
                     }[role]
-                    qrows[slot] = jnp.asarray(self._E[src_idx])
+                    qrows[slot] = jnp.asarray(
+                        self._E[src_idx],
+                        jnp.float32 if self.quantize else None,
+                    )
                 else:
                     qrows[slot] = self._small[pname][jnp.asarray(
                         rel if role == "p" else np.zeros_like(rel)
@@ -478,20 +582,34 @@ class StreamedLinkPredictor:
             pair_rows, pair_ents = _filter_pairs_for_batch(
                 batch[:nvalid], index, bs
             )
-            best_vals = jnp.full((bs, k), -jnp.inf, self._E.dtype)
+            fdt = jnp.float32 if self.quantize else self._E.dtype
+            best_vals = jnp.full((bs, k), -jnp.inf, fdt)
             best_ids = jnp.full((bs, k), -1, jnp.int32)
-            for cbase in range(0, n_e, C):
-                rows_np = self._E[cbase : cbase + C]
-                nrows = rows_np.shape[0]
+
+            def _pad(a, nrows):
                 if nrows < C:
-                    rows_np = np.concatenate(
-                        [rows_np, np.zeros((C - nrows, *rows_np.shape[1:]),
-                                           rows_np.dtype)]
+                    a = np.concatenate(
+                        [a, np.zeros((C - nrows, *a.shape[1:]), a.dtype)]
+                    )
+                return a
+
+            for cbase in range(0, n_e, C):
+                nrows = min(C, n_e - cbase)
+                if self.quantize == "int8":
+                    payload = {
+                        "q": jnp.asarray(_pad(
+                            self._Eq["q"][cbase : cbase + C], nrows)),
+                        "scale": jnp.asarray(_pad(
+                            self._Eq["scale"][cbase : cbase + C], nrows)),
+                    }
+                else:
+                    payload = jnp.asarray(
+                        _pad(self._E[cbase : cbase + C], nrows)
                     )
                 valid = np.zeros(C, bool)
                 valid[:nrows] = True
                 best_vals, best_ids = kern(
-                    self._small, qrows, jnp.asarray(rows_np),
+                    self._small, qrows, payload,
                     jnp.int32(cbase), jnp.asarray(valid),
                     jnp.asarray(pair_rows), jnp.asarray(pair_ents),
                     best_vals, best_ids,

@@ -353,3 +353,55 @@ def load_checkpoint(path: str) -> Tuple[TrainState, Dict[str, Any]]:
     params = {k: jnp.asarray(v) for k, v in _unflatten(params_flat).items()}
     opt_state = jax.tree.map(jnp.asarray, _unflatten(opt_flat))
     return TrainState(params, opt_state, key, step), meta
+
+
+# ---------------------------------------------------------------------------
+# Orbax interop (convenience; NEXT.md round-2 candidate). The native npz
+# format above remains canonical — self-contained, host-count-independent,
+# sharded, async — but production fleets often standardize on Orbax
+# (ocp.StandardCheckpointer) for unified retention/GCS tooling, so a
+# TrainState can round-trip through it too. The PRNG key travels as raw
+# uint32 key data (Orbax serializes plain arrays, not typed PRNG keys);
+# metadata rides as a sibling JSON file, mirroring the npz layout's
+# meta_json member.
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(
+    dirpath: str, state: TrainState, meta: Optional[Dict[str, Any]] = None
+) -> None:
+    """Write `state` as an Orbax StandardCheckpoint directory."""
+    import orbax.checkpoint as ocp
+
+    dirpath = os.path.abspath(dirpath)
+    tree = {
+        "params": jax.tree.map(np.asarray, dict(state.params)),
+        "opt": jax.tree.map(np.asarray, dict(state.opt_state)),
+        "key": np.asarray(jax.random.key_data(state.key)),
+        "step": np.asarray(state.step),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(dirpath, tree, force=True)
+    with open(dirpath + ".meta.json", "w") as f:
+        json.dump(meta or {}, f)
+
+
+def load_checkpoint_orbax(dirpath: str) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore a TrainState saved by `save_checkpoint_orbax` (exact resume:
+    params, optimizer accumulators, PRNG position, step)."""
+    import orbax.checkpoint as ocp
+
+    dirpath = os.path.abspath(dirpath)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(dirpath)
+    meta_path = dirpath + ".meta.json"
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    key = jax.random.wrap_key_data(jnp.asarray(tree["key"]))
+    return TrainState(
+        params={k: jnp.asarray(v) for k, v in tree["params"].items()},
+        opt_state=jax.tree.map(jnp.asarray, tree["opt"]),
+        key=key,
+        step=jnp.asarray(tree["step"]),
+    ), meta

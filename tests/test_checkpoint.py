@@ -272,3 +272,47 @@ def test_async_checkpointer_snapshot_isolation(tmp_path):
     ck.save(str(blocker / "c.npz"), state)
     with pytest.raises(Exception):
         ck.wait()
+
+
+def test_orbax_roundtrip_resumes_exact_trajectory(tmp_path):
+    """Orbax interop (NEXT.md candidate): a TrainState round-trips through
+    ocp.StandardCheckpointer — params, optimizer accumulators, PRNG
+    position, step, metadata — and resuming from it reproduces the exact
+    uninterrupted trajectory, same as the native npz format."""
+    import pytest
+
+    ocp = pytest.importorskip("orbax.checkpoint")  # noqa: F841
+    from skge_tpu import make_epoch_fn, make_pairwise_step
+    from skge_tpu.utils.checkpoint import (
+        load_checkpoint_orbax, save_checkpoint_orbax,
+    )
+
+    ds = synthetic_kg(80, 5, n_train=400, seed=2)
+    model = TransE(ds.n_entities, ds.n_relations, 12, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    step = make_pairwise_step(
+        model, opt, RandomModeSampler(ds.n_entities), margin=0.5
+    )
+    epoch = jax.jit(make_epoch_fn(step, ds.train.shape[0], 5))
+    xs = jnp.asarray(ds.train)
+
+    state = init_state(model, opt, jax.random.PRNGKey(9))
+    for _ in range(3):
+        state, _ = epoch(state, xs)
+    save_checkpoint_orbax(str(tmp_path / "ck"), state, {"epoch": 3})
+    for _ in range(2):
+        state, _ = epoch(state, xs)  # ground truth: uninterrupted
+
+    resumed, meta = load_checkpoint_orbax(str(tmp_path / "ck"))
+    assert meta == {"epoch": 3}
+    for _ in range(2):
+        resumed, _ = epoch(resumed, xs)
+    for k in state.params:
+        np.testing.assert_array_equal(
+            np.asarray(state.params[k]), np.asarray(resumed.params[k]),
+            err_msg=k,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(state.key)),
+        np.asarray(jax.random.key_data(resumed.key)),
+    )

@@ -249,3 +249,63 @@ def test_aot_compile_and_export_roundtrip():
     ref = pred.top_k(queries, k, direction="o", filtered=False)
     np.testing.assert_array_equal(np.asarray(ids), ref.entities)
     np.testing.assert_allclose(np.asarray(vals), ref.scores, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Quantized serving (int8 / bfloat16 entity tables)
+# ---------------------------------------------------------------------------
+
+def test_int8_engine_equals_exact_on_dequantized_table():
+    """Wiring exactness: LinkPredictor(quantize='int8') must produce the
+    IDENTICAL ranking that the exact engine produces on the explicitly
+    quantize->dequantized table — quantization error is a property of the
+    representation, never of the engine plumbing."""
+    from skge_tpu.serving import quantize_table_int8
+
+    model = MODELS["distmult"](N_E, N_R, D)  # fp32: the production dtype
+    params = dict(make_params(model))
+    q = make_queries()
+    qt = quantize_table_int8(np.asarray(params["E"]))
+    deq = (qt["q"].astype(np.float32) * qt["scale"])
+    exact = LinkPredictor(
+        model, {**params, "E": jnp.asarray(deq)}
+    ).top_k(q, 10, filtered=False)
+    quant = LinkPredictor(model, params, quantize="int8").top_k(
+        q, 10, filtered=False
+    )
+    np.testing.assert_array_equal(exact.entities, quant.entities)
+    np.testing.assert_allclose(exact.scores, quant.scores, rtol=1e-6)
+
+
+def test_streamed_int8_matches_incore_int8():
+    model = MODELS["transe"](N_E, N_R, D, l1=False)
+    params = dict(make_params(model, seed=4))
+    q = make_queries(seed=5)
+    incore = LinkPredictor(model, params, quantize="int8").top_k(
+        q, 7, filtered=False
+    )
+    host = {k: np.asarray(v) for k, v in params.items()}
+    streamed = StreamedLinkPredictor(
+        model, host, chunk=17, quantize="int8"
+    ).top_k(q, 7, filtered=False)
+    np.testing.assert_array_equal(incore.entities, streamed.entities)
+    np.testing.assert_allclose(incore.scores, streamed.scores,
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["int8", "bfloat16"])
+def test_quantized_recall_reasonable(mode):
+    """Approximation sanity: per-row int8 keeps top-10 recall high on a
+    random fp32 table (scores shift by O(0.4%) of the row absmax)."""
+    model = MODELS["distmult"](N_E, N_R, D)
+    params = make_params(model, seed=6)
+    q = make_queries(seed=7, n=32)
+    exact = LinkPredictor(model, params).top_k(q, 10, filtered=False)
+    quant = LinkPredictor(model, params, quantize=mode).top_k(
+        q, 10, filtered=False
+    )
+    overlap = np.mean([
+        len(set(a) & set(b)) / 10.0
+        for a, b in zip(exact.entities, quant.entities)
+    ])
+    assert overlap >= 0.8, overlap
