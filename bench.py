@@ -102,13 +102,20 @@ def main() -> None:
         "instead of pairwise margin (same work units: 2 scores per "
         "(positive, pool, mode) element)",
     )
+    ap.add_argument(
+        "--sampled-ce", action="store_true",
+        help="importance-corrected sampled-softmax CE over the shared pool "
+        "(training.sampled_ce_grads_shared) — full-CE quality scheme at "
+        "O(B*k*d) instead of O(B*n_e*d) work; work units = (k+1) candidate "
+        "scorings per positive per direction",
+    )
     args = ap.parse_args()
     if args.negatives < 1:
         ap.error("--negatives must be >= 1")
     if args.k < 1:
         ap.error("--k must be >= 1")
-    if args.ce and args.selfadv:
-        ap.error("--ce and --selfadv are mutually exclusive")
+    if sum((args.ce, args.selfadv, args.sampled_ce)) > 1:
+        ap.error("--ce / --selfadv / --sampled-ce are mutually exclusive")
 
     import jax
 
@@ -162,13 +169,22 @@ def main() -> None:
             model, opt, sampler, margin=1.0, alpha=1.0, aggregate="dense"
         )
         pairs_per_positive = len(modes) * args.k
+    elif args.sampled_ce:
+        from skge_tpu import make_sampled_ce_step
+
+        directions = ("o",) if args.model == "conve" else ("o", "s")
+        sampler = SharedNegativeSampler(ds.n_entities, k=args.k, modes=modes)
+        step = make_sampled_ce_step(model, opt, sampler,
+                                    directions=directions)
+        # each positive scores itself + the k-candidate pool per direction
+        pairs_per_positive = len(directions) * (args.k + 1)
     elif args.sampler == "shared":
         sampler = SharedNegativeSampler(ds.n_entities, k=args.k, modes=modes)
         pairs_per_positive = len(modes) * args.k
     else:
         sampler = RandomModeSampler(ds.n_entities, modes=modes * args.negatives)
         pairs_per_positive = len(modes) * args.negatives
-    if not args.ce and not args.selfadv:
+    if not args.ce and not args.selfadv and not args.sampled_ce:
         step = make_pairwise_step(
             model, opt, sampler, margin=1.0, aggregate=args.aggregate
         )
@@ -194,8 +210,8 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     # 2 reference-equivalent scores (pos+neg) per margin-ranked pair;
-    # CE work units are single candidate scorings (no pairing)
-    per_pair = 1 if args.ce else 2
+    # CE / sampled-CE work units are single candidate scorings (no pairing)
+    per_pair = 1 if (args.ce or args.sampled_ce) else 2
     scored_per_epoch = per_pair * pairs_per_positive * ds.train.shape[0]
     value = scored_per_epoch * args.epochs / dt
     print(
@@ -205,6 +221,7 @@ def main() -> None:
                     f"{args.model}"
                     f"{'_ce' if args.ce else ''}"
                     f"{'_selfadv' if args.selfadv else ''}"
+                    f"{'_sampled_ce' if args.sampled_ce else ''}"
                     "_fb15k_scored_triples_per_s_per_chip"
                 ),
                 "value": round(value, 1),

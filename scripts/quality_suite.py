@@ -70,14 +70,20 @@ def parse_args(argv=None):
     ap.add_argument("--negatives", type=int, default=2,
                     help="[random-mode] negatives per (positive, mode)")
     ap.add_argument(
-        "--loss", default="margin", choices=["margin", "selfadv", "ce"],
+        "--loss", default="margin",
+        choices=["margin", "selfadv", "ce", "sampled_ce"],
         help="'selfadv' = Sun et al. 2019 self-adversarial loss over the "
         "shared pool (the strongest measured loss — RESULTS.md); uses the "
         "per-model selfadv margins (gamma) with lr 0.3 and k 8192 unless "
         "--k overrides. 'ce' = the canonical multiplicative-era scheme for "
         "EVERY model: reciprocal relations + object-direction 1-vs-all "
         "cross entropy (ls=0.1) + Adam lr=1e-3 (no sampler) — the recipe "
-        "that rescues DistMult/ComplEx/TuckER on this KG (RESULTS.md)",
+        "that rescues DistMult/ComplEx/TuckER on this KG (RESULTS.md). "
+        "'sampled_ce' = the same reciprocal+Adam protocol with the "
+        "importance-corrected sampled softmax over a shared k-entity pool "
+        "(O(B*k*d) work instead of O(B*n_e*d); "
+        "training.sampled_ce_grads_shared) — the direct A/B against full "
+        "CE at a fraction of the compute",
     )
     ap.add_argument("--adv-alpha", type=float, default=1.0,
                     help="[--loss selfadv] softmax temperature; the "
@@ -101,7 +107,7 @@ def parse_args(argv=None):
     if args.loss == "selfadv" and args.sampler != "shared":
         ap.error("--loss selfadv needs the shared-pool sampler")
     if args.k is None:
-        args.k = 8192 if args.loss == "selfadv" else 1024
+        args.k = 8192 if args.loss in ("selfadv", "sampled_ce") else 1024
     if args.sweep and not args.eval_every:
         args.eval_every = 10  # sweep selection needs validation evals
     return args
@@ -203,7 +209,7 @@ def main(argv=None) -> None:
         # reference operating point: iid corruption, margin 0.2, lr 0.1
         configs = [(n, m, 0.2, 0.1, None) for n, m, _, _, _ in configs
                    if n != "ConvE"]
-    if args.loss == "ce":
+    if args.loss in ("ce", "sampled_ce"):
         # every model trains through its score_all_o eval kernel. rparam is
         # STRIPPED: under CE the optimizer applies full-table updates, so
         # row L2 decays every row every step and collapses the embeddings
@@ -226,6 +232,9 @@ def main(argv=None) -> None:
         configs = [
             (n, _ce_model(n, m), 0.0, 1e-3, None)
             for n, m, _, _, _ in configs
+            # ConvE's canonical scheme IS full CE; under --loss sampled_ce
+            # it would not be an A/B row, so it sits this one out
+            if not (args.loss == "sampled_ce" and n == "ConvE")
         ]
     if args.loss == "selfadv":
         # per-family selfadv gammas measured in RESULTS.md ("selfadv sweep
@@ -247,7 +256,9 @@ def main(argv=None) -> None:
         want = {m.strip() for m in args.models.split(",")}
         configs = [c for c in configs if c[0] in want]
 
-    needs_recip = args.loss == "ce" or any(c[0] == "ConvE" for c in configs)
+    needs_recip = args.loss in ("ce", "sampled_ce") or any(
+        c[0] == "ConvE" for c in configs
+    )
     if needs_recip:
         from skge_tpu.data import add_reciprocal_relations
 
@@ -257,7 +268,7 @@ def main(argv=None) -> None:
     def build(name, model, margin, lr, k, alpha, ls):
         """-> (trainable model, step fn, train_xs, opt, eval_model)."""
         eval_model = None
-        if name == "ConvE" or args.loss == "ce":
+        if name == "ConvE" or args.loss in ("ce", "sampled_ce"):
             from skge_tpu import Adam, make_ce_step
             from skge_tpu.evaluation import ReciprocalEvalWrapper
             from skge_tpu.models import ConvE
@@ -270,8 +281,19 @@ def main(argv=None) -> None:
                 # the inverse relation (the direction CE actually trained),
                 # exactly as ConvE does internally
                 eval_model = ReciprocalEvalWrapper(model)
-            step = make_ce_step(model, opt, directions=("o",),
-                                label_smoothing=ls)
+            if args.loss == "sampled_ce" and name != "ConvE":
+                from skge_tpu import (
+                    SharedNegativeSampler as _SNS, make_sampled_ce_step,
+                )
+
+                sampler = _SNS(ds.n_entities, k=k or args.k)
+                step = make_sampled_ce_step(
+                    model, opt, sampler, directions=("o",),
+                    label_smoothing=ls,
+                )
+            else:
+                step = make_ce_step(model, opt, directions=("o",),
+                                    label_smoothing=ls)
             return model, step, aug_xs, opt, eval_model
         opt = AdaGrad(lr=lr)
         if args.sampler == "random-mode":
@@ -353,7 +375,7 @@ def main(argv=None) -> None:
                 for g in (margin * 0.5, margin, margin * 2.0)
                 for a in (1.0, 2.0)
             ]
-        if args.loss == "ce" or name == "ConvE":
+        if args.loss in ("ce", "sampled_ce") or name == "ConvE":
             return [
                 {"margin": margin, "alpha": args.adv_alpha, "lr": r,
                  "k": k, "ls": s}
@@ -368,7 +390,8 @@ def main(argv=None) -> None:
 
     rows = []
     for name, model, margin, lr, k in configs:
-        ls = 0.1 if (args.loss == "ce" or name == "ConvE") else 0.0
+        ls = 0.1 if (args.loss in ("ce", "sampled_ce")
+                     or name == "ConvE") else 0.0
         cfg = {"margin": margin, "alpha": args.adv_alpha, "lr": lr,
                "k": k, "ls": ls}
         if args.sweep:
@@ -407,6 +430,9 @@ def main(argv=None) -> None:
             if args.loss == "selfadv":
                 tag = (f"selfadv g={cfg['margin']} a={cfg['alpha']} "
                        f"lr={cfg['lr']} {tag}")
+            elif args.loss == "sampled_ce" and name != "ConvE":
+                tag = (f"sampledCE+Adam reciprocal k={cfg['k'] or args.k} "
+                       f"lr={cfg['lr']} ls={cfg['ls']}")
             elif args.loss == "ce" or name == "ConvE":
                 tag = f"CE+Adam reciprocal lr={cfg['lr']} ls={cfg['ls']}"
             elif args.sweep:

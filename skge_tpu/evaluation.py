@@ -130,7 +130,42 @@ def ranking_scores(
     )
 
 
+# jit caches per wrapped-function OBJECT, so constructing a fresh
+# FilteredRankingEval used to recompile both direction kernels every time —
+# ~30-60 s each on the remote TPU, which dominated quality_suite's sweep /
+# early-stopping loops (one evaluator per validation pass). Models are
+# frozen VALUE-hashable dataclasses, so the jitted kernel is reusable
+# whenever (model, direction, ties) match; mesh- or mask-carrying kernels
+# (partitioned eval) are rarer and long-lived, so they skip the cache.
+_KERNEL_CACHE: dict = {}
+_KERNEL_CACHE_MAX = 128
+
+
 def _rank_kernel(
+    model: KGEModel, direction: str, mesh=None, axis="model",
+    ties: str = "mean", candidate_mask=None,
+):
+    if mesh is None and candidate_mask is None:
+        try:
+            key = (model, direction, ties)
+            hash(key)
+        except TypeError:
+            key = None
+        if key is not None:
+            kern = _KERNEL_CACHE.get(key)
+            if kern is None:
+                if len(_KERNEL_CACHE) >= _KERNEL_CACHE_MAX:
+                    _KERNEL_CACHE.clear()
+                kern = _build_rank_kernel(
+                    model, direction, mesh, axis, ties, candidate_mask
+                )
+                _KERNEL_CACHE[key] = kern
+            return kern
+    return _build_rank_kernel(model, direction, mesh, axis, ties,
+                              candidate_mask)
+
+
+def _build_rank_kernel(
     model: KGEModel, direction: str, mesh=None, axis="model",
     ties: str = "mean", candidate_mask=None,
 ):
@@ -329,6 +364,7 @@ def evaluate(
     return ev(params)
 
 
+@dataclass(frozen=True)
 class ReciprocalEvalWrapper:
     """Evaluate a reciprocal-trained model with the CANONICAL protocol:
     head (subject-direction) queries route through the inverse relation id
@@ -337,15 +373,17 @@ class ReciprocalEvalWrapper:
     `data.add_reciprocal_relations` output with object-direction-only CE
     before passing it to FilteredRankingEval, so both directions rank
     through the objective that was actually optimized. `n_relations` on
-    the wrapped model must be the DOUBLED count."""
+    the wrapped model must be the DOUBLED count. Frozen/value-hashable so
+    the wrapped kernels share the `_rank_kernel` cache like bare models."""
 
-    def __init__(self, model: KGEModel):
-        if model.n_relations % 2 != 0:
+    model: KGEModel
+
+    def __post_init__(self):
+        if self.model.n_relations % 2 != 0:
             raise ValueError(
                 "reciprocal eval expects the DOUBLED relation count "
                 "(data.add_reciprocal_relations)"
             )
-        self.model = model
 
     def score_all_o(self, params, s, p):
         return self.model.score_all_o(params, s, p)

@@ -256,3 +256,34 @@ def test_reciprocal_eval_wrapper_routes_heads_through_inverse():
 
     with pytest.raises(ValueError, match="DOUBLED"):
         ReciprocalEvalWrapper(DistMult(N_E, 5, D))
+
+
+def test_rank_kernel_cache_reuses_compiled_kernels():
+    """Fresh FilteredRankingEval instances over equal model values share
+    the jitted kernels (the sweep/early-stopping loops build one evaluator
+    per validation pass; recompiling 2 kernels each time dominated the
+    suite's wall clock on the remote TPU)."""
+    from skge_tpu.evaluation import _rank_kernel
+    from skge_tpu.models import TransE
+
+    a = TransE(50, 4, 8)
+    b = TransE(50, 4, 8)  # equal by value, distinct instance
+    assert _rank_kernel(a, "o") is _rank_kernel(b, "o")
+    assert _rank_kernel(a, "o") is not _rank_kernel(a, "s")
+    assert _rank_kernel(a, "o", ties="optimistic") is not _rank_kernel(a, "o")
+    # mask-carrying kernels skip the cache (mask arrays aren't hashable)
+    import numpy as np
+
+    m = np.ones(50, bool)
+    assert _rank_kernel(a, "o", candidate_mask=m) is not _rank_kernel(
+        a, "o", candidate_mask=m
+    )
+
+
+def test_reciprocal_wrapper_value_hashable():
+    from skge_tpu.evaluation import ReciprocalEvalWrapper
+    from skge_tpu.models import DistMult
+
+    m = DistMult(50, 8, 8)
+    assert hash(ReciprocalEvalWrapper(m)) == hash(ReciprocalEvalWrapper(m))
+    assert ReciprocalEvalWrapper(m) == ReciprocalEvalWrapper(DistMult(50, 8, 8))
