@@ -315,6 +315,28 @@ def main(argv=None) -> None:
             )
         return model, step, xs, opt, eval_model
 
+    # evaluator cache: the sweep / early-stopping loops call train_eval many
+    # times with value-equal (eval_model or model); FilteredRankingEval's
+    # filter-index precompute is pure-Python over ~3x the train set and its
+    # jitted kernels are cached by model VALUE (evaluation._KERNEL_CACHE),
+    # so reusing the instance drops ~10 s of host work per validation pass.
+    ev_cache: dict = {}
+
+    def _get_eval(eval_model, which):
+        data = ds.valid if which == "valid" else ds.test
+        try:
+            key = (eval_model, which)
+            hash(key)
+        except TypeError:
+            key = None
+        if key is not None and key in ev_cache:
+            return ev_cache[key]
+        ev = FilteredRankingEval(eval_model, data, all_triples,
+                                 batch_size=1024)
+        if key is not None:
+            ev_cache[key] = ev
+        return ev
+
     def train_eval(name, model, margin, lr, k, alpha, ls, epochs,
                    eval_on="test", eval_every=0, patience=0):
         """Train and return (metrics row dict, RankingResult). With
@@ -329,9 +351,7 @@ def main(argv=None) -> None:
             donate_argnums=(0,),
         )
         state = init_state(model, opt, jax.random.PRNGKey(0))
-        val_ev = FilteredRankingEval(
-            eval_model or model, ds.valid, all_triples, batch_size=1024
-        ) if eval_every else None
+        val_ev = _get_eval(eval_model or model, "valid") if eval_every else None
         best = (-1.0, 0, None)  # (valid mrr, epoch, params)
         bad = 0
         t0 = time.perf_counter()
@@ -354,10 +374,7 @@ def main(argv=None) -> None:
         t_train = time.perf_counter() - t0
         params = best[2] if best[2] is not None else state.params
         best_epoch = best[1] if best[2] is not None else e
-        eval_set = ds.valid if eval_on == "valid" else ds.test
-        r = FilteredRankingEval(
-            eval_model or model, eval_set, all_triples, batch_size=1024
-        )(params)
+        r = _get_eval(eval_model or model, eval_on)(params)
         row = {
             "model": name, "epochs": best_epoch, "epochs_run": e,
             "train_s": round(t_train, 1),

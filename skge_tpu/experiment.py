@@ -120,12 +120,10 @@ class Experiment:
                 "%d, train doubled to %d)",
                 self.ds.n_relations, len(self.ds.train),
             )
-            if args.trainer == "outofcore" or (
-                args.trainer != "single" and args.model == "conve"
-            ):
+            if args.trainer != "single" and args.model == "conve":
                 raise SystemExit(
-                    "reciprocal training supports --trainer single or "
-                    "partitioned (non-ConvE models)"
+                    "ConvE reciprocal training supports --trainer single "
+                    "only (non-ConvE models: any trainer)"
                 )
         model_cls = MODELS[args.model]
         kw = {}
@@ -309,20 +307,23 @@ class Experiment:
         else:
             from skge_tpu.outofcore import OutOfCoreTrainer
 
+            recip = reciprocal and loss == "ce"
             tr = OutOfCoreTrainer(
                 self.model, opt, self.ds.train, n_parts=args.parts,
                 margin=args.margin, k=args.k, nbatches=args.nb,
                 seed=args.seed, loss=loss, adv_alpha=args.adv_alpha,
                 label_smoothing=args.label_smoothing,
+                ce_directions=("o",) if recip else ("o", "s"),
             )
 
             def eval_split(split):
                 # streamed: candidates arrive one partition at a time —
                 # evaluation works at the same beyond-HBM scale as
-                # training (never materializes the full table on device)
+                # training (never materializes the full table on device);
+                # reciprocal routes head queries through inverse relations
                 return tr.evaluate(
                     split, self.ds.all_triples(),
-                    batch_size=args.eval_batch,
+                    batch_size=args.eval_batch, reciprocal=recip,
                 )
 
         best_params = None

@@ -585,6 +585,7 @@ class OutOfCoreTrainer:
         batch_size: int = 512,
         hits_at: Tuple[int, ...] = (1, 3, 10),
         ties: str = "mean",
+        reciprocal: bool = False,
     ):
         """Streamed filtered ranking over the HOST-resident table — the
         beyond-HBM evaluation the bucketed trainer needs: candidate
@@ -598,6 +599,15 @@ class OutOfCoreTrainer:
         values (same comparisons, partitioned only in the counting), see
         tests/test_outofcore.py. Mirrors the reference protocol
         (SURVEY.md §3.4) incl. mean/optimistic tie-breaking.
+
+        `reciprocal=True` applies the canonical reciprocal protocol for
+        models trained on `data.add_reciprocal_relations` output with
+        object-direction CE (evaluation.ReciprocalEvalWrapper's streamed
+        twin): the subject-direction pass rewrites each query (s, o, p)
+        to (o, s, inv(p)) and ranks it as an OBJECT query — same filter
+        set (known subjects of (o, p) == known objects of (o, inv p)),
+        identical ranks to the in-core wrapper
+        (tests/test_outofcore.py).
         """
         import jax
         from functools import partial
@@ -625,6 +635,28 @@ class OutOfCoreTrainer:
         sp_o, op_s = true_triple_index(known_rel)
         index = {"o": sp_o, "s": op_s}
 
+        if reciprocal:
+            if model.n_relations % 2 != 0:
+                raise ValueError(
+                    "reciprocal eval expects the DOUBLED relation count "
+                    "(data.add_reciprocal_relations)"
+                )
+            half = model.n_relations // 2
+
+            def inv(t):
+                out = t.copy()
+                out[:, 0], out[:, 1] = t[:, 1], t[:, 0]
+                out[:, 2] = np.where(
+                    t[:, 2] < half, t[:, 2] + half, t[:, 2] - half
+                )
+                return out
+
+            # head queries rank as OBJECT queries through the inverse
+            # relation; their filter set {(o, inv p) -> objects} over the
+            # inverse-rewritten known triples equals the native
+            # {(o, p) -> subjects}
+            index["s"] = true_triple_index(inv(known_rel))[0]
+
         n = len(test_rel)
         bs = int(min(batch_size, max(1, n)))
         nb = -(-n // bs)
@@ -632,10 +664,15 @@ class OutOfCoreTrainer:
         batches = np.concatenate(
             [test_rel, np.tile(test_rel[:1], (pad, 1))]
         ).reshape(nb, bs, 3)
+        # per-direction effective query triples: identical unless
+        # reciprocal, where the subject pass uses the inverse rewrite
+        eff = {"o": batches, "s": batches}
+        if reciprocal:
+            eff["s"] = inv(batches.reshape(-1, 3)).reshape(nb, bs, 3)
 
         dense = {k: self.dev_params[k] for k in model.dense_param_names}
 
-        def rows_of(b):
+        def rows_of(b, batches):
             s_, o_, p_ = batches[b, :, 0], batches[b, :, 1], batches[b, :, 2]
             out = {}
             for slot, pname, role in model.slot_spec():
@@ -685,28 +722,31 @@ class OutOfCoreTrainer:
 
         results = {}
         for direction, mode in (("o", 1), ("s", 0)):
-            tcol = 1 if direction == "o" else 0
+            qb = eff[direction]
+            if reciprocal and direction == "s":
+                mode = 1  # inverse-rewritten head queries are object queries
+            tcol = 1 if mode == 1 else 0
             tgts = []
             for b in range(nb):
-                tids = jnp.asarray(batches[b, :, tcol])
+                tids = jnp.asarray(qb[b, :, tcol])
                 t = jnp.zeros((bs,), jnp.asarray(e_tab[:1]).dtype)
                 for p in range(self.n_parts):
                     cand = jnp.asarray(
                         e_tab[p * s_rows: (p + 1) * s_rows]
                     )
                     t = t + target_from_part(
-                        rows_of(b), cand, tids, mode=mode, p=p
+                        rows_of(b, qb), cand, tids, mode=mode, p=p
                     )
                 tgts.append(t)
             # per (batch, part) filter pairs, pow2-padded (row=bs pads)
             fpairs = []
             for b in range(nb):
                 per_part: Dict[int, list] = {}
-                for i, (s_, o_, p_) in enumerate(batches[b]):
+                for i, (s_, o_, p_) in enumerate(qb[b]):
                     if b * bs + i >= n:
                         continue  # padding test rows filter nothing
                     key = (
-                        (int(s_), int(p_)) if direction == "o"
+                        (int(s_), int(p_)) if mode == 1
                         else (int(o_), int(p_))
                     )
                     ents = index[direction].get(key)
@@ -739,7 +779,7 @@ class OutOfCoreTrainer:
                         frow[: len(pl)] = arr[:, 0]
                         floc[: len(pl)] = arr[:, 1]
                     g, e, fg, fe = part_counts(
-                        rows_of(b), cand, tgts[b], n_valid, mode=mode,
+                        rows_of(b, qb), cand, tgts[b], n_valid, mode=mode,
                         frow=jnp.asarray(frow), floc=jnp.asarray(floc),
                     )
                     a = acc[b]

@@ -352,3 +352,52 @@ def test_ce_multipart_learns_on_latent_kg():
     assert losses[-1] < losses[0] * 0.8, losses
     res = ooc.evaluate(ds.test, ds.all_triples(), batch_size=32)
     assert res.mrr > 3.0 / ds.n_entities
+
+
+def test_streamed_reciprocal_eval_matches_incore_wrapper():
+    """evaluate(reciprocal=True) is the streamed twin of
+    evaluation.ReciprocalEvalWrapper: head queries rank as object queries
+    through the inverse relation with the subject-side filter set; rank
+    integers exactly equal the in-core wrapper's, both tie conventions."""
+    from skge_tpu.data import add_reciprocal_relations
+    from skge_tpu.evaluation import (
+        FilteredRankingEval, ReciprocalEvalWrapper,
+    )
+    from skge_tpu.models import DistMult
+
+    ds = synthetic_kg(n_entities=90, n_relations=5, n_train=900,
+                      n_test=80, seed=9, clustered=True)
+    aug = add_reciprocal_relations(ds)
+    model = DistMult(aug.n_entities, aug.n_relations, 16, dtype="float64")
+    opt = AdaGrad(lr=0.1)
+    ooc = OutOfCoreTrainer(
+        model, opt, aug.train, n_parts=3, k=32, nbatches=6, seed=1,
+        loss="ce", ce_directions=("o",),
+    ).fit(epochs=2)
+
+    params = {k: jnp.asarray(v) for k, v in ooc.params().items()}
+    wrapped = ReciprocalEvalWrapper(model)
+    for ties in ("mean", "optimistic"):
+        want = FilteredRankingEval(
+            wrapped, ds.test, ds.all_triples(), batch_size=32, ties=ties
+        )(params)
+        got = ooc.evaluate(
+            ds.test, ds.all_triples(), batch_size=32, ties=ties,
+            reciprocal=True,
+        )
+        np.testing.assert_array_equal(got.ranks, want.ranks, err_msg=ties)
+        np.testing.assert_array_equal(
+            got.ranks_raw, want.ranks_raw, err_msg=ties
+        )
+        assert got.mrr == want.mrr
+
+
+def test_streamed_reciprocal_eval_needs_doubled_relations():
+    import pytest
+
+    ds = synthetic_kg(n_entities=40, n_relations=5, n_train=200,
+                      n_test=20, seed=2)
+    model = TransE(ds.n_entities, ds.n_relations, 8)
+    ooc = OutOfCoreTrainer(model, AdaGrad(lr=0.1), ds.train, n_parts=2)
+    with pytest.raises(ValueError, match="DOUBLED"):
+        ooc.evaluate(ds.test, ds.all_triples(), reciprocal=True)
