@@ -112,8 +112,9 @@ class Experiment:
             # multiplicative family — RESULTS.md)
             from skge_tpu.data import add_reciprocal_relations
 
-            if args.reciprocal and args.model != "conve" and not args.ce:
-                raise SystemExit("--reciprocal requires --ce")
+            if (args.reciprocal and args.model != "conve"
+                    and not (args.ce or args.sampled_ce)):
+                raise SystemExit("--reciprocal requires --ce or --sampled-ce")
             self.ds = add_reciprocal_relations(self.ds)
             log.info(
                 "reciprocal-relation augmentation (n_relations doubled to "
@@ -171,7 +172,10 @@ class Experiment:
             seed=args.seed,
             metrics_jsonl=args.metrics,
         )
-        if args.sampled_ce and args.sampler != "shared":
+        if (args.sampled_ce and args.sampler != "shared"
+                and args.trainer == "single"):
+            # scale-out trainers always pool-sample (the --sampler flag is
+            # in their ignored list); only the single path needs the check
             raise SystemExit("--sampled-ce needs --sampler shared")
         if args.trainer == "single":
             sampler = build_sampler(
@@ -190,9 +194,9 @@ class Experiment:
                 ignored.append(f"--aggregate {args.aggregate}")
             if args.no_pairwise:
                 ignored.append("--no-pairwise (pairwise only)")
-            if args.sampled_ce:
-                ignored.append("--sampled-ce (single-device only; use "
-                               "--ce on scale-out trainers)")
+            if args.sampled_ce and args.trainer == "outofcore":
+                ignored.append("--sampled-ce (single or partitioned "
+                               "trainers; use --ce on outofcore)")
             if args.metrics:
                 ignored.append("--metrics (use trainer.metrics)")
             if ignored:
@@ -284,6 +288,8 @@ class Experiment:
             ),
         )
         loss = "ce" if args.ce else (
+            "sampled_ce" if (args.sampled_ce
+                             and args.trainer == "partitioned") else
             "selfadv" if args.selfadv else "margin"
         )
         reciprocal = args.reciprocal
@@ -296,7 +302,7 @@ class Experiment:
                 self.model, opt, self.ds.train, make_shard_mesh(),
                 margin=args.margin, k=args.k, nbatches=args.nb,
                 seed=args.seed, loss=loss, adv_alpha=args.adv_alpha,
-                reciprocal=reciprocal and loss == "ce",
+                reciprocal=reciprocal and loss in ("ce", "sampled_ce"),
                 label_smoothing=args.label_smoothing,
             )
 

@@ -64,6 +64,7 @@ from skge_tpu.training import (
     TrainState,
     pairwise_grads_fused,
     pairwise_grads_shared,
+    sampled_ce_grads_shared,
     selfadv_grads_shared,
 )
 
@@ -389,6 +390,65 @@ def make_partitioned_selfadv_step(
     return jax.jit(smapped, donate_argnums=(0,))
 
 
+def make_partitioned_sampled_ce_step(
+    model: KGEModel,
+    opt: Optimizer,
+    sampler: Callable,
+    mesh: Mesh,
+    directions: Tuple[str, ...] = ("o", "s"),
+    label_smoothing: float = 0.0,
+    boundary_cap: int | None = None,
+    overlap: bool = True,
+    ragged=False,
+    debug_checks: bool = False,
+):
+    """Partition-aligned SAMPLED-softmax-CE step (no reference counterpart;
+    completes the loss x distribution matrix for the practical
+    10^7+-vocabulary scheme): the importance-corrected exclusion-form
+    estimator of `sampled_ce_grads_shared` on the entity-sharded layout.
+
+    Unlike full partitioned CE — whose candidates ARE the shard rows, so
+    queries must all_gather — the sampled candidate pool is small and
+    identical on every shard (drawn from the unfolded key), so each shard
+    scores only its OWN batch: pool rows arrive through one replicated
+    psum gather, subject rows are shard-local by construction, object/
+    label rows ride the same request-response exchange as the pairwise
+    path (incl. `boundary_cap` compaction and `ragged` owner routing).
+    Occurrence gradients keep the sampled-CE SUM semantics (the k=n_e ==
+    full-CE identity needs sums, see training.apply_gradients
+    combine='sum'), rescaled from the local-batch mean to the global one;
+    fp64 trajectory parity with the single-device `make_sampled_ce_step`
+    on the same relabeled batch is pinned in tests/test_partitioned.py.
+    A sampler with unigram `logits` feeds the proposal correction, as on
+    the single-device path."""
+    if not hasattr(sampler, "pool"):
+        raise ValueError(
+            "make_partitioned_sampled_ce_step needs a shared-pool sampler"
+        )
+    epname, s_rows, shared, state_spec = _prep(
+        model, opt, mesh, sampler, boundary_cap
+    )
+    if ragged and boundary_cap is None:
+        raise ValueError("ragged exchange requires boundary_cap")
+    local_step = _build_local_step(
+        model, opt, sampler, 0.0, epname, s_rows, shared, boundary_cap,
+        overlap, ragged, debug_checks, loss_kind="sampled_ce",
+        directions=directions, label_smoothing=label_smoothing,
+    )
+
+    def block_step(state: TrainState, batch, mask):
+        return local_step(state, batch[0], mask[0])
+
+    smapped = jax.shard_map(
+        block_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
+        out_specs=(state_spec, StepMetrics(loss=P(), nviolations=P())),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
 def make_partitioned_ce_step(
     model: KGEModel,
     opt: Optimizer,
@@ -668,10 +728,16 @@ def _build_local_step(
     model, opt, sampler, margin, epname, s_rows, shared, boundary_cap,
     overlap=True, ragged=False, debug_checks=False,
     loss_kind="margin", alpha=1.0,
+    directions=("o", "s"), label_smoothing=0.0,
 ):
     """Per-shard step body: (state, (L, 3) batch, (L,) mask) -> updated
     state + globally-psum'd metrics. Runs inside shard_map."""
     n_e = model.n_entities
+    log_q_table = None
+    if loss_kind == "sampled_ce":
+        logits = getattr(sampler, "logits", None)
+        if logits is not None:
+            log_q_table = jax.nn.log_softmax(jnp.asarray(logits))
 
     def local_step(state: TrainState, batch, mask):
         params = state.params
@@ -831,6 +897,30 @@ def _build_local_step(
                     1.0 + pool_idx.shape[0] * len(sampler.modes)
                 )
                 dnorm_local = jnp.maximum(dnorm_raw, 1.0)
+            elif loss_kind == "sampled_ce":
+                loss, occ, g_dense = sampled_ce_grads_shared(
+                    model, params, batch, pool_idx, mask,
+                    directions=directions,
+                    label_smoothing=label_smoothing,
+                    log_q=(None if log_q_table is None
+                           else log_q_table[pool_idx]),
+                    gather=g,
+                )
+                nviol = jnp.zeros((), loss.dtype)
+                # sampled-CE occurrence grads are SUMS of the mean-over-
+                # LOCAL-valid loss; rescale them (and the reported loss) to
+                # the global mean here, so the shared psum'd aggregation
+                # below reproduces the single-device trajectory exactly
+                dnorm_raw = jnp.sum(mask)
+                dnorm_local = jnp.maximum(dnorm_raw, 1.0)
+                g_all = jnp.maximum(
+                    jax.lax.psum(dnorm_raw, SHARD_AXIS), 1.0
+                )
+                scale = dnorm_local / g_all
+                occ = {
+                    pn: (i, gr * scale, c) for pn, (i, gr, c) in occ.items()
+                }
+                loss = loss * dnorm_raw / g_all
             else:
                 loss, nviol, occ, g_dense = pairwise_grads_shared(
                     model, params, batch, pool_idx, mask, margin,
@@ -964,9 +1054,16 @@ def _build_local_step(
             count = table[:, -1]
             feat = grads.shape[1:]
             gsum = table[:, :-1].reshape((table.shape[0],) + feat)
-            gavg = gsum / jnp.maximum(count, 1.0).reshape(
-                (-1,) + (1,) * len(feat)
-            )
+            if loss_kind == "sampled_ce":
+                # sampled-CE keeps SUM semantics over duplicate occurrences
+                # (training.apply_gradients combine='sum'): the k=n_e ==
+                # full-CE identity needs sums; counts still gate which
+                # rows update
+                gavg = gsum
+            else:
+                gavg = gsum / jnp.maximum(count, 1.0).reshape(
+                    (-1,) + (1,) * len(feat)
+                )
             if reg != 0.0 and pname in model.reg_row_params:
                 gavg = gavg + reg * model.reg_grad_rows(pname, new_params[pname])
             if reg3 != 0.0 and pname in model.reg_row_params:
@@ -1037,12 +1134,12 @@ def make_partitioned_epoch(
     cap = None if boundary_cap is None else min(boundary_cap, batch_size)
     if ragged and cap is None:
         raise ValueError("ragged exchange requires boundary_cap")
-    if loss not in ("margin", "selfadv", "ce"):
+    if loss not in ("margin", "selfadv", "ce", "sampled_ce"):
         raise ValueError(f"unknown partitioned loss {loss!r}")
-    if loss == "selfadv" and not hasattr(sampler, "pool"):
+    if loss in ("selfadv", "sampled_ce") and not hasattr(sampler, "pool"):
         raise ValueError(
-            "loss='selfadv' needs a shared-pool sampler (the softmax "
-            "difficulty weights are defined over a candidate pool)"
+            f"loss={loss!r} needs a shared-pool sampler (the softmax "
+            "terms are defined over a candidate pool)"
         )
     if loss == "ce":
         local_step = _build_ce_local_step(
@@ -1052,6 +1149,7 @@ def make_partitioned_epoch(
         local_step = _build_local_step(
             model, opt, sampler, margin, epname, s_rows, shared, cap,
             overlap, ragged, debug_checks, loss_kind=loss, alpha=adv_alpha,
+            directions=directions, label_smoothing=label_smoothing,
         )
 
     def local_epoch(state: TrainState, batch, mask):
@@ -1203,11 +1301,15 @@ class PartitionedTrainer:
         exchange: str = "",
     ):
         """`loss='ce'` trains full cross-entropy on the partitioned layout
-        (make_partitioned_ce_step); `reciprocal=True` (CE only) applies the
-        canonical reciprocal protocol: the caller passes triples ALREADY
-        augmented by data.add_reciprocal_relations and a model built with
-        the DOUBLED n_relations; training is object-direction-only and
-        `evaluate` routes head queries through the inverse relation
+        (make_partitioned_ce_step); `loss='sampled_ce'` the importance-
+        corrected sampled softmax over the k-entity pool
+        (make_partitioned_sampled_ce_step — full-CE quality at O(B*k*d)
+        work, the practical scheme at 10^7+ vocabularies).
+        `reciprocal=True` (ce/sampled_ce) applies the canonical reciprocal
+        protocol: the caller passes triples ALREADY augmented by
+        data.add_reciprocal_relations and a model built with the DOUBLED
+        n_relations; training is object-direction-only and `evaluate`
+        routes head queries through the inverse relation
         (ReciprocalEvalWrapper).
 
         `exchange` selects the boundary-exchange implementation:
@@ -1238,8 +1340,10 @@ class PartitionedTrainer:
         cap = max(1, object_boundary_cap(batches, s, mask))
         self.full_model = model
         self.model = replace(model, n_entities=n_pad)
-        if reciprocal and loss != "ce":
-            raise ValueError("reciprocal=True requires loss='ce'")
+        if reciprocal and loss not in ("ce", "sampled_ce"):
+            raise ValueError(
+                "reciprocal=True requires loss='ce' or 'sampled_ce'"
+            )
         self.reciprocal = reciprocal
         sampler = RelabeledPoolSampler(self.new_of_old, k=k)
         length = batches.shape[1]

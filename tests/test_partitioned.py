@@ -702,3 +702,99 @@ def test_partitioned_trainer_ce_and_reciprocal():
     # test triples keep ORIGINAL relation ids; head ranks route via p+half
     res_r = tr_r.evaluate(ds.test, aug.all_triples(), batch_size=32)
     assert res_r.mrr > 3.0 / ds.n_entities
+
+
+def test_partitioned_sampled_ce_matches_single_device():
+    """Partitioned sampled-softmax-CE step (plain, compacted AND ragged-
+    emulated) reproduces the single-device make_sampled_ce_step trajectory
+    in fp64 — same relabeled batch, same injected pool, both direction
+    protocols (completes the loss x distribution matrix for the practical
+    10^7+-vocabulary scheme)."""
+    from skge_tpu.models import DistMult
+    from skge_tpu.parallel.partitioned import (
+        make_partitioned_sampled_ce_step, object_boundary_cap,
+    )
+    from skge_tpu.training import make_sampled_ce_step
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(61, 5, n_train=400, seed=9, clustered=True)
+    part = greedy_entity_partition(ds.train, ds.n_entities, P_PARTS)
+    rel, _, n_pad = relabel_entities(ds.train, part, P_PARTS)
+    s = n_pad // P_PARTS
+    batches, mask, _ = partition_edges(rel, _range_part(n_pad, s), P_PARTS)
+    batches = jnp.asarray(batches)
+    mask = jnp.asarray(mask, jnp.float64)
+    opt = AdaGrad(lr=0.1)
+    rng = np.random.default_rng(21)
+    pool = jnp.asarray(rng.integers(0, n_pad, 9), jnp.int32)
+
+    class Pool:
+        modes = (0, 1)
+        k = 9
+
+        def pool(self, key, pos, m):
+            return pool
+
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    cap = max(1, object_boundary_cap(np.asarray(batches), s))
+    for model, directions, ls in (
+        (TransE(n_pad, ds.n_relations, 16, dtype="float64", l1=False),
+         ("o", "s"), 0.0),
+        (DistMult(n_pad, ds.n_relations, 12, dtype="float64"),
+         ("o",), 0.1),
+    ):
+        flat_batch = batches.reshape(-1, 3)
+        flat_mask = mask.reshape(-1)
+        ref_step = make_sampled_ce_step(
+            model, opt, Pool(), directions=directions, label_smoothing=ls
+        )
+        ref = init_state(model, opt, jax.random.PRNGKey(4))
+        for _ in range(3):
+            ref, rm = jax.jit(ref_step)(ref, flat_batch, flat_mask)
+
+        for kwargs in ({}, {"boundary_cap": cap},
+                       {"boundary_cap": cap, "ragged": "emulate"}):
+            step = make_partitioned_sampled_ce_step(
+                model, opt, Pool(), mesh, directions=directions,
+                label_smoothing=ls, **kwargs,
+            )
+            state = shard_state_partitioned(
+                init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+            )
+            for _ in range(3):
+                state, m = step(state, batches, mask)
+            np.testing.assert_allclose(
+                float(m.loss), float(rm.loss), rtol=1e-12,
+                err_msg=f"{model.name} {directions} {kwargs}",
+            )
+            for k in ref.params:
+                np.testing.assert_allclose(
+                    np.asarray(state.params[k]), np.asarray(ref.params[k]),
+                    rtol=1e-10, atol=1e-13,
+                    err_msg=f"{model.name} {directions} {kwargs} {k}",
+                )
+
+
+def test_partitioned_trainer_sampled_ce_runs():
+    """PartitionedTrainer(loss='sampled_ce') trains (loss drops) through
+    the epoch driver, incl. the reciprocal protocol."""
+    from skge_tpu import Adam, PartitionedTrainer
+    from skge_tpu.data import add_reciprocal_relations, latent_kg
+    from skge_tpu.models import DistMult
+
+    if len(jax.devices()) < P_PARTS:
+        pytest.skip("needs virtual devices")
+    ds = latent_kg(n_entities=200, n_relations=5, n_train=800, n_valid=0,
+                   n_test=30, latent_dim=6, seed=2)
+    mesh = make_shard_mesh(jax.devices()[:P_PARTS])
+    aug = add_reciprocal_relations(ds)
+    model = DistMult(aug.n_entities, aug.n_relations, 16)
+    tr = PartitionedTrainer(
+        model, Adam(lr=1e-2), aug.train, mesh, k=64, nbatches=8, seed=0,
+        loss="sampled_ce", reciprocal=True, label_smoothing=0.1,
+    ).fit(epochs=12)
+    losses = [m["loss"] for m in tr.metrics]
+    assert losses[-1] < losses[0] * 0.8
+    res = tr.evaluate(ds.test, ds.all_triples(), batch_size=32)
+    assert res.mrr > 3.0 / ds.n_entities
