@@ -1111,7 +1111,9 @@ def make_partitioned_epoch(
     `loss='ce'` runs the full-cross-entropy step
     (make_partitioned_ce_step; `directions`/`label_smoothing` apply,
     sampler/margin/boundary_cap are ignored — CE has no sampler and its
-    entity gradient is dense).
+    entity gradient is dense). `loss='sampled_ce'` runs the sampled-
+    softmax step (make_partitioned_sampled_ce_step; needs a pool sampler,
+    `directions`/`label_smoothing`/`boundary_cap` all apply).
 
     Call: `epoch(state, batches, mask)` with the SAME (P, L, 3) / (P, L)
     inputs as the single step; returns (state, StepMetrics) with (nb,)
