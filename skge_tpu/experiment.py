@@ -194,9 +194,6 @@ class Experiment:
                 ignored.append(f"--aggregate {args.aggregate}")
             if args.no_pairwise:
                 ignored.append("--no-pairwise (pairwise only)")
-            if args.sampled_ce and args.trainer == "outofcore":
-                ignored.append("--sampled-ce (single or partitioned "
-                               "trainers; use --ce on outofcore)")
             if args.metrics:
                 ignored.append("--metrics (use trainer.metrics)")
             if ignored:
@@ -288,8 +285,7 @@ class Experiment:
             ),
         )
         loss = "ce" if args.ce else (
-            "sampled_ce" if (args.sampled_ce
-                             and args.trainer == "partitioned") else
+            "sampled_ce" if args.sampled_ce else
             "selfadv" if args.selfadv else "margin"
         )
         reciprocal = args.reciprocal
@@ -313,7 +309,7 @@ class Experiment:
         else:
             from skge_tpu.outofcore import OutOfCoreTrainer
 
-            recip = reciprocal and loss == "ce"
+            recip = reciprocal and loss in ("ce", "sampled_ce")
             tr = OutOfCoreTrainer(
                 self.model, opt, self.ds.train, n_parts=args.parts,
                 margin=args.margin, k=args.k, nbatches=args.nb,

@@ -173,7 +173,7 @@ class OutOfCoreTrainer:
         self.margin = margin
         self.aggregate = aggregate
         self.pairwise = pairwise
-        if loss not in ("margin", "selfadv", "ce"):
+        if loss not in ("margin", "selfadv", "ce", "sampled_ce"):
             raise ValueError(f"unknown out-of-core loss {loss!r}")
         self.loss = loss
         self.adv_alpha = adv_alpha
@@ -184,6 +184,22 @@ class OutOfCoreTrainer:
         # For n_parts>1 the partition function runs over n_e/P (diagonal)
         # or 2*n_e/P (off-diagonal) candidates per step, every one of them
         # resident — no host<->device traffic beyond the usual part swaps.
+        #
+        # loss='sampled_ce': the importance-corrected exclusion-form
+        # sampled softmax (training.sampled_ce_grads_shared) over a
+        # k-entity pool drawn UNIFORMLY FROM THE RESIDENT PARTITIONS
+        # (BucketPoolSampler), with the proposal correction log q =
+        # -log(resident real rows) read dynamically from the bucket's
+        # sentinel row. Same resident-proposal bias as loss='ce': the
+        # estimator converges (k -> resident count) to the RESIDENT-
+        # candidate partition function, not the full-table one — exact
+        # full-table sampled CE would need cross-partition candidate
+        # uploads every step, defeating the bucket scheme. At n_parts=1
+        # the proposal is uniform over the whole real table and the
+        # trajectory matches training.make_sampled_ce_step bit-for-bit
+        # (tests/test_outofcore.py). This is the practical 10^7+ CE: the
+        # per-step logit work is O(B*k*d), independent of both n_e AND
+        # the partition size, where loss='ce' pays O(B*(n_e/P)*d).
         self.ce_directions = tuple(ce_directions)
         self.label_smoothing = float(label_smoothing)
         self.prefetch = prefetch
@@ -304,6 +320,8 @@ class OutOfCoreTrainer:
                     bucket_model, self.opt, directions=self.ce_directions,
                     label_smoothing=self.label_smoothing,
                 )
+            elif self.loss == "sampled_ce":
+                step = self._sampled_ce_step(bucket_model, sampler)
             elif self.loss == "selfadv":
                 from skge_tpu.training import make_selfadv_step
 
@@ -328,6 +346,45 @@ class OutOfCoreTrainer:
                 donate_argnums=(0,),
             )
         return self._epochs[diag]
+
+    def _sampled_ce_step(self, bucket_model: KGEModel,
+                         sampler: "BucketPoolSampler"):
+        """Sampled-softmax-CE step over the resident-partition pool.
+
+        `training.make_sampled_ce_step`'s structure (same PRNG split
+        order, so n_parts=1 is trajectory-exact against it), with the
+        proposal domain read DYNAMICALLY from the bucket's sentinel row:
+        the pool is uniform over the resident REAL rows, so
+        log q = -log(size_i [+ size_j]) — one compiled program per
+        bucket kind, like every other OOC loss."""
+        from skge_tpu.training import (
+            apply_gradients, sampled_ce_grads_shared,
+        )
+
+        slot_stride = sampler.slot_stride
+        opt, aggregate = self.opt, self.aggregate
+        directions, ls = self.ce_directions, self.label_smoothing
+
+        def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
+            key, sk = jax.random.split(state.key)
+            pool_idx = sampler.pool(sk, batch, mask)
+            n_res = batch[-1, 0] + (batch[-1, 1] if slot_stride else 0)
+            loss, occ, g_dense = sampled_ce_grads_shared(
+                bucket_model, state.params, batch, pool_idx, mask,
+                directions=directions, label_smoothing=ls,
+                n_domain=n_res,
+            )
+            params, opt_state = apply_gradients(
+                bucket_model, opt, state.params, state.opt_state, occ,
+                g_dense, aggregate, premasked=True, step=state.step,
+                combine="sum",
+            )
+            new_state = TrainState(params, opt_state, key, state.step + 1)
+            return new_state, StepMetrics(
+                loss=loss, nviolations=jnp.zeros((), loss.dtype)
+            )
+
+        return step
 
     # -- device part cache: up to `cache_parts` partitions stay on device
     # between buckets. The chained bucket order (_bucket_order) shares a

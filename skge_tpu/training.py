@@ -711,6 +711,7 @@ def sampled_ce_grads_shared(
     label_smoothing: float = 0.0,
     log_q: Optional[jnp.ndarray] = None,  # (K,) proposal log-probs
     gather: Optional[Callable] = None,
+    n_domain=None,  # candidate-domain size (static or traced scalar)
 ):
     """SAMPLED softmax cross-entropy over a shared candidate pool.
 
@@ -740,6 +741,12 @@ def sampled_ce_grads_shared(
     occurrences add instead of averaging (the k=n_e identity needs sum
     semantics). Compute is O(B*K*d) MXU work vs full CE's O(B*n_e*d);
     the update touches only batch + pool rows.
+
+    `n_domain` overrides the candidate-domain size used for the default
+    uniform proposal (q = 1/n_domain) and the label-smoothing denominator;
+    it may be a TRACED scalar — the out-of-core trainer passes the
+    bucket's dynamic resident-row count so one compiled program serves
+    every bucket (outofcore.py).
     """
     s, o, p = pos[:, 0], pos[:, 1], pos[:, 2]
     if gather is None:
@@ -755,11 +762,14 @@ def sampled_ce_grads_shared(
     pool_rows = gather(epname, pool_idx, "pool")
     dense = model.dense_params(params)
     k = pool_idx.shape[0]
-    n_e = model.n_entities
+    n_e = (model.n_entities if n_domain is None
+           else jnp.asarray(n_domain, mask.dtype))
     ls = float(label_smoothing)
     n_valid = jnp.maximum(jnp.sum(mask), 1.0)
     if log_q is None:
-        log_q = jnp.full((k,), -jnp.log(float(n_e)), mask.dtype)
+        log_q = jnp.broadcast_to(
+            -jnp.log(jnp.asarray(n_e, mask.dtype)), (k,)
+        ).astype(mask.dtype)
     corr = -(jnp.log(float(k)) + log_q)          # (K,) importance correction
     labels = {"o": o, "s": s}
 
