@@ -24,6 +24,13 @@ tests/test_shared.py.
 `vs_baseline` is value / 50e6, the BASELINE.md north-star target (the
 reference publishes no throughput numbers — SURVEY.md §6).
 
+`--all` (VERDICT r3 item 8) machine-generates the RESULTS.md training-
+throughput matrix: one JSON line per curated (model, loss, k) row — the
+whole model zoo under the shared-pool flagship scheme plus the selfadv /
+full-CE / sampled-CE loss rows — so a per-round perf regression anywhere
+in the matrix is one `python bench.py --all` away. The driver's default
+single-row invocation is unchanged.
+
 Run on the real TPU chip (default backend); `--cpu` for a smoke run.
 """
 
@@ -33,10 +40,43 @@ import argparse
 import json
 import time
 
+# The curated --all matrix: argv fragments over this parser. Mirrors the
+# RESULTS.md "Training throughput" table rows that the single-run CLI can
+# express (iid/pallas aggregation variants stay hand-run: at 50-76 M
+# triples/s they cost minutes per epoch and measure the aggregation
+# kernels, not the models).
+ALL_ROWS = [
+    ["--model", "transe"],                                  # flagship L1
+    ["--model", "transe", "--l2"],
+    ["--model", "transe", "--l2", "--k", "4096"],
+    ["--model", "hole", "--k", "4096"],
+    ["--model", "rescal", "--ncomp", "100"],
+    ["--model", "ermlp"],
+    ["--model", "distmult"],
+    ["--model", "complex", "--ncomp", "75"],
+    ["--model", "rotate"],
+    ["--model", "transh"],
+    ["--model", "transr", "--factored"],
+    ["--model", "pairre"],
+    ["--model", "tucker", "--ncomp", "100"],
+    ["--model", "simple"],
+    ["--model", "quate"],
+    ["--model", "conve", "--ncomp", "128"],
+    ["--model", "transe", "--selfadv"],
+    ["--model", "distmult", "--ce"],
+    ["--model", "distmult", "--sampled-ce", "--k", "8192"],
+    ["--model", "conve", "--ncomp", "128", "--ce"],
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--all", action="store_true",
+                    help="run the curated model x loss matrix (ALL_ROWS); "
+                    "one JSON line per row")
+    ap.add_argument("--l2", action="store_true",
+                    help="[transe] squared-L2 score instead of L1")
     ap.add_argument(
         "--model", default="transe",
         choices=["transe", "hole", "rescal", "ermlp", "distmult", "complex",
@@ -117,6 +157,24 @@ def main() -> None:
     if sum((args.ce, args.selfadv, args.sampled_ce)) > 1:
         ap.error("--ce / --selfadv / --sampled-ce are mutually exclusive")
 
+    if args.all:
+        base = []
+        if args.cpu:
+            base += ["--cpu"]
+        for flag in ("--epochs", "--nbatches", "--entities", "--relations",
+                     "--ntrain"):
+            base += [flag, str(getattr(args, flag.strip("-")))]
+        for row in ALL_ROWS:
+            row_args = ap.parse_args(base + row)
+            rec = run(row_args)
+            rec["config"] = " ".join(row)
+            print(json.dumps(rec), flush=True)
+        return
+
+    print(json.dumps(run(args)))
+
+
+def run(args) -> dict:
     import jax
 
     if args.cpu:
@@ -147,6 +205,10 @@ def main() -> None:
     modes = (1,) if args.model == "conve" else (0, 1)
     n_rel = 2 * ds.n_relations if args.model == "conve" else ds.n_relations
     mkw = {"compute_dtype": args.compute_dtype}
+    if args.l2:
+        if args.model != "transe":
+            raise SystemExit("--l2 is a TransE option")
+        mkw["l1"] = False
     if args.factored:
         if args.model != "transr":
             ap.error("--factored is a TransR option")
@@ -214,22 +276,19 @@ def main() -> None:
     per_pair = 1 if (args.ce or args.sampled_ce) else 2
     scored_per_epoch = per_pair * pairs_per_positive * ds.train.shape[0]
     value = scored_per_epoch * args.epochs / dt
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"{args.model}"
-                    f"{'_ce' if args.ce else ''}"
-                    f"{'_selfadv' if args.selfadv else ''}"
-                    f"{'_sampled_ce' if args.sampled_ce else ''}"
-                    "_fb15k_scored_triples_per_s_per_chip"
-                ),
-                "value": round(value, 1),
-                "unit": "triples/s",
-                "vs_baseline": round(value / 50e6, 4),
-            }
-        )
-    )
+    return {
+        "metric": (
+            f"{args.model}"
+            f"{'_l2' if args.l2 else ''}"
+            f"{'_ce' if args.ce else ''}"
+            f"{'_selfadv' if args.selfadv else ''}"
+            f"{'_sampled_ce' if args.sampled_ce else ''}"
+            "_fb15k_scored_triples_per_s_per_chip"
+        ),
+        "value": round(value, 1),
+        "unit": "triples/s",
+        "vs_baseline": round(value / 50e6, 4),
+    }
 
 
 if __name__ == "__main__":

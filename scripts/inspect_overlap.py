@@ -47,7 +47,8 @@ ASYNC_FLAGS = {
 
 def build_step(boundary_cap: int, overlap: bool, ragged: bool = False,
                loss: str = "margin", d: int = 128, k: int = 512,
-               L: int = 2048, s_rows: int = 4096):
+               L: int = 2048, s_rows: int = 4096,
+               directions: tuple = ("o", "s")):
     import jax
 
     # keep every runtime array on CPU: the AOT TPU compile only needs the
@@ -64,6 +65,7 @@ def build_step(boundary_cap: int, overlap: bool, ragged: bool = False,
         SHARD_AXIS,
         RelabeledPoolSampler,
         make_partitioned_pairwise_step,
+        make_partitioned_sampled_ce_step,
         make_partitioned_selfadv_step,
         partitioned_state_specs,
     )
@@ -80,6 +82,11 @@ def build_step(boundary_cap: int, overlap: bool, ragged: bool = False,
     if loss == "selfadv":
         step = make_partitioned_selfadv_step(
             model, opt, sampler, 1.0, mesh,
+            boundary_cap=boundary_cap, overlap=overlap, ragged=ragged,
+        )
+    elif loss == "sampled_ce":
+        step = make_partitioned_sampled_ce_step(
+            model, opt, sampler, mesh, directions=directions,
             boundary_cap=boundary_cap, overlap=overlap, ragged=ragged,
         )
     else:
@@ -110,7 +117,7 @@ def build_step(boundary_cap: int, overlap: bool, ragged: bool = False,
     return step.lower(state, batch, mask).compile(compiler_options=ASYNC_FLAGS)
 
 
-def sweep(caps, dims, k, L):
+def sweep(caps, dims, k, L, loss="margin", directions=("o", "s")):
     """Bytes-vs-hidden-cycles crossover table: dense+overlap vs ragged for
     each (d, C), compiled-evidence decision next to the `choose_exchange`
     cost-model prediction that `PartitionedTrainer(exchange='auto')` uses
@@ -137,7 +144,7 @@ def sweep(caps, dims, k, L):
             for mode in ("dense", "ragged"):
                 compiled = build_step(
                     cap, overlap=True, ragged=(mode == "ragged"),
-                    d=d, k=k, L=L,
+                    d=d, k=k, L=L, loss=loss, directions=directions,
                 )
                 recs, sync = analyze(compiled.as_text())
                 exp = 0.0
@@ -169,10 +176,12 @@ def sweep(caps, dims, k, L):
             evidence = (
                 "ragged" if exposed["ragged"] < exposed["dense"] else "dense"
             )
+            n_modes = len(directions) if loss == "sampled_ce" else 2
             predicted, report = choose_exchange(
-                d=d, cap=cap, k=k, batch_per_shard=L, p=p_
+                d=d, cap=cap, k=k, batch_per_shard=L, p=p_, n_modes=n_modes,
             )
             row = {
+                "loss": loss, "n_modes": n_modes,
                 "d": d, "cap": cap, "k": k, "L": L,
                 "dense_bytes": detail["dense"]["bytes"],
                 "dense_overlapped_cycles":
@@ -200,7 +209,11 @@ def main() -> None:
                     help="owner-routed ragged_all_to_all boundary exchange "
                     "(P-fold exchange-volume reduction)")
     ap.add_argument("--dump", default=None, help="write full HLO here")
-    ap.add_argument("--loss", default="margin", choices=["margin", "selfadv"])
+    ap.add_argument("--loss", default="margin",
+                    choices=["margin", "selfadv", "sampled_ce"])
+    ap.add_argument("--reciprocal", action="store_true",
+                    help="[--loss sampled_ce] object-direction only "
+                    "(halves the hideable pool compute)")
     ap.add_argument("--sweep", action="store_true",
                     help="dense-vs-ragged crossover table over (d, C) "
                     "(12 AOT compiles; see `sweep`)")
@@ -209,13 +222,15 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=512)
     ap.add_argument("--batch", type=int, default=2048)
     args = ap.parse_args()
+    directions = ("o",) if args.reciprocal else ("o", "s")
     if args.sweep:
         sweep([int(c) for c in args.sweep_caps.split(",")],
               [int(d) for d in args.sweep_dims.split(",")],
-              args.k, args.batch)
+              args.k, args.batch, loss=args.loss, directions=directions)
         return
     compiled = build_step(args.boundary_cap, overlap=not args.no_overlap,
-                          ragged=args.ragged, loss=args.loss)
+                          ragged=args.ragged, loss=args.loss,
+                          directions=directions)
     hlo = compiled.as_text()
     if args.dump:
         open(args.dump, "w").write(hlo)

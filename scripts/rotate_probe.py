@@ -42,6 +42,8 @@ def main(argv=None) -> None:
     ap.add_argument("--patience", type=int, default=3)
     ap.add_argument("--k", type=int, default=8192)
     ap.add_argument("--gammas", default="3,6,12")
+    ap.add_argument("--variants", default="paper,nunif",
+                    help="comma subset of paper,nunif,mixed")
     ap.add_argument("--alpha", type=float, default=2.0)
     ap.add_argument("--lr", type=float, default=0.3)
     ap.add_argument("--nbatches", type=int, default=100)
@@ -134,18 +136,32 @@ def main(argv=None) -> None:
         return row
 
     gammas = [float(g) for g in args.gammas.split(",")]
+    variants = [v for v in args.variants.split(",") if v]
     rows = []
     for g in gammas:
-        rows.append(run(
-            f"paper-init g={g}",
-            RotatE(ds.n_entities, ds.n_relations, args.ncomp, gamma_init=g),
-            g,
-        ))
-        rows.append(run(
-            f"nunif g={g}",
-            RotatE(ds.n_entities, ds.n_relations, args.ncomp),
-            g,
-        ))
+        if "paper" in variants:
+            rows.append(run(
+                f"paper-init g={g}",
+                RotatE(ds.n_entities, ds.n_relations, args.ncomp,
+                       gamma_init=g),
+                g,
+            ))
+        if "nunif" in variants:
+            rows.append(run(
+                f"nunif g={g}",
+                RotatE(ds.n_entities, ds.n_relations, args.ncomp),
+                g,
+            ))
+        if "mixed" in variants:
+            # isolate the phase-spread mechanism: entities keep the nunif
+            # scale that works, ONLY phases start at the generator's
+            # uniform(-pi, pi) distribution
+            rows.append(run(
+                f"uniform-phase g={g}",
+                RotatE(ds.n_entities, ds.n_relations, args.ncomp,
+                       phase_init="uniform"),
+                g,
+            ))
     if args.out:
         with open(args.out, "a") as f:
             for r in rows:

@@ -56,6 +56,11 @@ class RotatE(KGEModel):
 
     rparam: float = 0.0
     gamma_init: float = 0.0
+    # "uniform" draws ONLY the phases from U(-pi, pi) (the paper's phase
+    # distribution) while entities keep the standard `init` — isolates the
+    # phase-spread mechanism from the entity-scale coupling of
+    # `gamma_init` (round-4 probe)
+    phase_init: str = ""
 
     name = "rotate"
     reg_row_params = ("E",)  # phases are scale-free; regularizing them
@@ -79,11 +84,18 @@ class RotatE(KGEModel):
                 ),
             }
         init = INITIALIZERS[self.init]
-        return {
-            "E": init(ke, (self.n_entities, 2 * self.ncomp), self.jdtype),
+        if self.phase_init == "uniform":
+            phases = jax.random.uniform(
+                kr, (self.n_relations, self.ncomp), self.jdtype,
+                minval=-math.pi, maxval=math.pi,
+            )
+        else:
             # phases start near identity rotations (small angles from the
             # standard initializer); training spreads them over (-pi, pi]
-            "R": init(kr, (self.n_relations, self.ncomp), self.jdtype),
+            phases = init(kr, (self.n_relations, self.ncomp), self.jdtype)
+        return {
+            "E": init(ke, (self.n_entities, 2 * self.ncomp), self.jdtype),
+            "R": phases,
         }
 
     @staticmethod

@@ -117,6 +117,18 @@ def choose_exchange(
     """Pick 'dense' (overlapped all_to_all) or 'ragged' (owner-routed) for
     the boundary exchange from the calibrated cost model above.
 
+    The byte terms are LOSS-INVARIANT across the cap-based partitioned
+    steps: pairwise, selfadv and sampled-CE compile to the identical
+    collective inventory at the same (d, C, k) — same forward answer
+    all_to_all, same P*(C+K) gradient return, same pool psum (measured
+    byte-for-byte on the AOT v5e:2x4 HLO; pinned in
+    tests/test_exchange_auto.py::test_cost_model_calibration_vs_compiled).
+    What differs is the HIDEABLE COMPUTE: `n_modes` is the number of
+    pool-scoring directions feeding the overlap window — 2 for
+    pairwise/selfadv (both corruption modes), len(directions) for
+    sampled-CE (1 under the reciprocal protocol, which halves the hiding
+    and moves the dense->ragged crossover earlier; VERDICT r3 item 7).
+
     Returns (choice, report) where report carries the model's numbers in
     cycles — recorded into `PartitionedTrainer.stats` so a run's exchange
     decision is auditable.
@@ -137,6 +149,7 @@ def choose_exchange(
     )
     choice = "ragged" if exposed_ragged < exposed_dense else "dense"
     return choice, {
+        "n_modes": n_modes,
         "dense_bytes": round(dense_bytes),
         "ragged_bytes": round(ragged_bytes),
         "dense_transfer_cycles": round(dense_cycles),
@@ -1354,10 +1367,18 @@ class PartitionedTrainer:
                 raise ValueError("pass either `exchange` or legacy `ragged`")
             if exchange == "auto":
                 per_batch = max(1, length // max(1, min(nbatches, length)))
+                # hideable pool compute scales with the mode count: 2 for
+                # pairwise/selfadv, len(directions) for sampled-CE (1 under
+                # reciprocal). Byte terms are loss-invariant (measured —
+                # see choose_exchange's docstring).
+                n_modes = (
+                    (1 if reciprocal else 2) if loss == "sampled_ce" else 2
+                )
                 choice, report = choose_exchange(
                     d=model.ncomp, cap=min(cap, per_batch), k=k,
-                    batch_per_shard=per_batch, p=n_shards,
+                    batch_per_shard=per_batch, p=n_shards, n_modes=n_modes,
                 )
+                report["loss"] = loss
                 self.stats["exchange"] = report
                 exchange = choice
             if exchange == "ragged":

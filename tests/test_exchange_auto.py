@@ -50,6 +50,76 @@ def test_cost_model_crossover():
     assert r1 == r2
 
 
+def test_cost_model_sampled_ce_modes():
+    """Sampled-CE calibration rows (VERDICT r3 item 7): byte terms are
+    loss-invariant (pinned against compiled HLO below), so the sampled-CE
+    extension is the n_modes axis — the reciprocal protocol scores ONE
+    pool direction, halving the hideable compute and moving the
+    dense->ragged crossover to smaller caps."""
+    # same bytes, less hiding: reciprocal (n_modes=1) exposes >= bidirectional
+    _, r2 = choose_exchange(d=64, cap=1024, k=8192,
+                            batch_per_shard=2048, p=8, n_modes=2)
+    _, r1 = choose_exchange(d=64, cap=1024, k=8192,
+                            batch_per_shard=2048, p=8, n_modes=1)
+    assert r1["dense_bytes"] == r2["dense_bytes"]
+    assert r1["ragged_bytes"] == r2["ragged_bytes"]
+    assert r1["hideable_compute_cycles"] <= r2["hideable_compute_cycles"]
+    assert r1["exposed_dense_cycles"] >= r2["exposed_dense_cycles"]
+    assert r1["n_modes"] == 1 and r2["n_modes"] == 2
+    # a config where the mode count flips the decision: hiding covers the
+    # dense bytes at n_modes=2 but not at n_modes=1 (reciprocal sampled-CE)
+    c2, _ = choose_exchange(d=32, cap=256, k=512,
+                            batch_per_shard=1024, p=8, n_modes=2)
+    c1, _ = choose_exchange(d=32, cap=256, k=512,
+                            batch_per_shard=1024, p=8, n_modes=1)
+    assert (c2, c1) == ("dense", "ragged")
+
+
+def test_cost_model_calibration_vs_compiled():
+    """The byte model vs the actual compiled collective inventory, and the
+    loss-invariance claim: pairwise and sampled-CE partitioned steps
+    compile to byte-identical collectives at the same (d, C, k) — the
+    calibration fact that lets one byte equation serve every cap-based
+    loss. AOT TPU HLO (compile-only; skipped where the TPU compiler is
+    unavailable)."""
+    import pytest
+
+    sys_path_added = False
+    import os
+    import sys as _sys
+
+    sdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    if sdir not in _sys.path:
+        _sys.path.insert(0, sdir)
+        sys_path_added = True
+    try:
+        from inspect_overlap import build_step
+        from skge_tpu.utils.hloparse import analyze
+
+        d, cap, k, L, p = 128, 512, 2048, 2048, 8
+        totals = {}
+        for loss in ("margin", "sampled_ce"):
+            try:
+                compiled = build_step(cap, overlap=True, ragged=False,
+                                      loss=loss, d=d, k=k, L=L)
+            except Exception as e:  # no TPU compiler in this env
+                pytest.skip(f"AOT TPU topology unavailable: {e}")
+            recs, sync = analyze(compiled.as_text())
+            totals[loss] = sum(r["bytes"] for r in recs) + sum(
+                r["bytes"] for r in sync
+            )
+        assert totals["margin"] == totals["sampled_ce"], totals
+        _, rep = choose_exchange(d=d, cap=cap, k=k, batch_per_shard=L, p=p)
+        # model bytes (wire-cycle calibrated: 2x psum, no id/count cols)
+        # track the compiled output-buffer inventory within 15%
+        ratio = rep["dense_bytes"] / totals["margin"]
+        assert 0.85 < ratio < 1.15, (rep["dense_bytes"], totals)
+    finally:
+        if sys_path_added:
+            _sys.path.remove(sdir)
+
+
 def _toy(n_e=4000, n_r=8, n=6000, seed=0):
     rng = np.random.default_rng(seed)
     return np.stack([
@@ -69,6 +139,32 @@ def test_trainer_auto_records_choice_and_trains():
     assert rep["choice"] in ("dense", "ragged")
     tr.fit(1)
     assert np.isfinite(tr.metrics[-1]["loss"])
+
+
+def test_trainer_auto_sampled_ce_records_modes():
+    """exchange='auto' under loss='sampled_ce' feeds the direction count
+    into the cost model and stamps (loss, n_modes) into the stats."""
+    triples = _toy()
+    tr = PartitionedTrainer(
+        TransE(4000, 8, 16), AdaGrad(lr=0.1), triples, _mesh(), k=64,
+        nbatches=10, loss="sampled_ce", exchange="auto",
+    )
+    rep = tr.stats["exchange"]
+    assert rep["loss"] == "sampled_ce" and rep["n_modes"] == 2
+    tr.fit(1)
+    assert np.isfinite(tr.metrics[-1]["loss"])
+
+    from skge_tpu.data import Dataset, add_reciprocal_relations
+
+    aug = add_reciprocal_relations(Dataset(
+        train=triples, valid=triples[:0], test=triples[:0],
+        n_entities=4000, n_relations=8,
+    ))
+    tr = PartitionedTrainer(
+        TransE(4000, 16, 16), AdaGrad(lr=0.1), aug.train, _mesh(), k=64,
+        nbatches=10, loss="sampled_ce", reciprocal=True, exchange="auto",
+    )
+    assert tr.stats["exchange"]["n_modes"] == 1
 
 
 def test_trainer_exchange_modes_agree():
