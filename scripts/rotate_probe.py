@@ -43,7 +43,7 @@ def main(argv=None) -> None:
     ap.add_argument("--k", type=int, default=8192)
     ap.add_argument("--gammas", default="3,6,12")
     ap.add_argument("--variants", default="paper,nunif",
-                    help="comma subset of paper,nunif,mixed")
+                    help="comma subset of paper,nunif,mixed,oracle")
     ap.add_argument("--alpha", type=float, default=2.0)
     ap.add_argument("--lr", type=float, default=0.3)
     ap.add_argument("--nbatches", type=int, default=100)
@@ -91,7 +91,33 @@ def main(argv=None) -> None:
             "phase_sd": round(float(R.std()), 4),
         }
 
-    def run(tag, model, gamma):
+    def oracle_params(ncomp):
+        """The GENERATOR's latents as model parameters (same rng stream as
+        data.latent_kg kind='rotational'; eval at this point gives MRR
+        ~0.87 / H@10 1.0 — realizability is proven, so any training-run
+        shortfall is pure optimization). Extra complex dims (ncomp >
+        latent/2) pad with zeros: rotations act on zeros, distances
+        unchanged."""
+        rng = np.random.default_rng(0)
+        Z = rng.normal(size=(args.entities, args.latent_dim)).astype(
+            np.float32)
+        Z /= np.maximum(np.linalg.norm(Z, axis=1, keepdims=True), 1.0)
+        Rel = rng.uniform(
+            -np.pi, np.pi, size=(args.relations, args.latent_dim // 2)
+        ).astype(np.float32)
+        h = args.latent_dim // 2
+        pad = ncomp - h
+        if pad < 0:
+            raise SystemExit("--ncomp must be >= latent_dim/2 for oracle")
+        a, b = Z[:, :h], Z[:, h:]
+        ze = np.zeros((args.entities, pad), np.float32)
+        zr = np.zeros((args.relations, pad), np.float32)
+        return {
+            "E": jnp.asarray(np.concatenate([a, ze, b, ze], axis=1)),
+            "R": jnp.asarray(np.concatenate([Rel, zr], axis=1)),
+        }
+
+    def run(tag, model, gamma, oracle=False):
         opt = AdaGrad(lr=args.lr)
         sampler = SharedNegativeSampler(ds.n_entities, k=args.k)
         step = make_selfadv_step(model, opt, sampler, margin=gamma,
@@ -101,6 +127,8 @@ def main(argv=None) -> None:
             donate_argnums=(0,),
         )
         state = init_state(model, opt, jax.random.PRNGKey(0))
+        if oracle:
+            state = state._replace(params=oracle_params(args.ncomp))
         d0 = diag(state.params)
         val_ev = FilteredRankingEval(model, ds.valid, all_triples,
                                      batch_size=1024)
@@ -161,6 +189,14 @@ def main(argv=None) -> None:
                 RotatE(ds.n_entities, ds.n_relations, args.ncomp,
                        phase_init="uniform"),
                 g,
+            ))
+        if "oracle" in variants:
+            # train selfadv FROM the generator's own latents: does the
+            # loss hold the realizable optimum or walk away from it?
+            rows.append(run(
+                f"oracle-init g={g}",
+                RotatE(ds.n_entities, ds.n_relations, args.ncomp),
+                g, oracle=True,
             ))
     if args.out:
         with open(args.out, "a") as f:

@@ -121,10 +121,16 @@ class Experiment:
                 "%d, train doubled to %d)",
                 self.ds.n_relations, len(self.ds.train),
             )
-            if args.trainer != "single" and args.model == "conve":
+            if (args.trainer != "single" and args.model == "conve"
+                    and not (args.ce or args.sampled_ce)):
+                # scale-out pool samplers corrupt BOTH roles; directional
+                # ConvE scores candidate objects only, so its scale-out
+                # protocols are the (object-direction) CE family — which
+                # is also its canonical training scheme
                 raise SystemExit(
-                    "ConvE reciprocal training supports --trainer single "
-                    "only (non-ConvE models: any trainer)"
+                    "ConvE on --trainer partitioned/outofcore requires "
+                    "--ce or --sampled-ce (its canonical scheme); the "
+                    "pairwise pool path is --trainer single"
                 )
         model_cls = MODELS[args.model]
         kw = {}
@@ -288,7 +294,8 @@ class Experiment:
             "sampled_ce" if args.sampled_ce else
             "selfadv" if args.selfadv else "margin"
         )
-        reciprocal = args.reciprocal
+        # ConvE is implicitly reciprocal (the dataset was augmented above)
+        reciprocal = args.reciprocal or args.model == "conve"
         if args.trainer == "partitioned":
             from skge_tpu.parallel.partitioned import (
                 PartitionedTrainer, make_shard_mesh,

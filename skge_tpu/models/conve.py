@@ -35,6 +35,11 @@ TPU design:
   route through the inverse relation id: score_all_s(o, p) =
   score_all_o(o, inv(p)). Filtered-ranking evaluation then works
   unmodified in both directions.
+- With `reciprocal=False`, `score_all_s` is still available through a
+  per-relation candidate-hidden-table sweep (cost linear in
+  n_relations; gated at 256 — see the method) so non-reciprocal ConvE
+  evaluates under the full two-direction protocol like every other
+  model.
 """
 
 from __future__ import annotations
@@ -181,9 +186,59 @@ class ConvE(KGEModel):
         return self.mxu(self._query1(hidden), params["E"].T)
 
     def score_all_s(self, params: Params, o, p):
-        if not self.reciprocal:
-            raise NotImplementedError(
-                "subject-direction sweeps need reciprocal=True (one conv "
-                "per candidate otherwise); see the module docstring"
+        if self.reciprocal:
+            return self.score_all_o(params, o, self._inv(p))
+        # Non-reciprocal subject sweep (round 4; closes the one remaining
+        # NotImplementedError capability edge): hidden() is a function of
+        # (candidate, p), so candidates cannot ride one matmul the way
+        # score_all_o's do. The TPU-shaped factoring is BY RELATION: build
+        # the candidate hidden table H_r = hidden(E, r) (n_e, d) once per
+        # relation — entity-chunked lax.scan keeps the conv activations
+        # bounded at (chunk, nfilters, oh, ow) — then every query row with
+        # relation r is one (B, d) x (d, n_e) MXU dot against H_r, gated
+        # by lax.cond so relations absent from the batch skip their table
+        # at runtime. Cost is linear in n_relations (n_r * n_e hidden
+        # evals + n_r * B * n_e * d dot FLOPs per batch): right for
+        # WN18-like relation counts, hopeless at FB15k's 1,345 — hence
+        # the gate below; use the reciprocal protocol there (the paper's
+        # own setting).
+        if self.n_relations > 256:
+            raise ValueError(
+                f"non-reciprocal ConvE subject sweeps scale linearly in "
+                f"n_relations ({self.n_relations} here; gated at 256): "
+                "train with reciprocal relations instead "
+                "(data.add_reciprocal_relations + reciprocal=True)"
             )
-        return self.score_all_o(params, o, self._inv(p))
+        d = self.ncomp
+        n_e = self.n_entities
+        dense = self.dense_params(params)
+        eo = params["E"][o, :d]                      # (B, d)
+        bo = params["E"][o, d]                       # (B,)
+        chunk = min(4096, n_e)
+        n_pad = -(-n_e // chunk) * chunk
+        e_all = params["E"][:, :d]
+        e_chunks = jnp.concatenate(
+            [e_all, jnp.zeros((n_pad - n_e, d), e_all.dtype)]
+        ).reshape(-1, chunk, d)
+
+        def hidden_table(rvec):
+            def c_body(_, e_chunk):
+                rp = jnp.broadcast_to(rvec, (chunk, d))
+                return None, self._hidden(e_chunk, rp, dense)
+
+            _, h = jax.lax.scan(c_body, None, e_chunks)
+            return h.reshape(n_pad, d)[:n_e]         # (n_e, d)
+
+        def rel_body(acc, r):
+            hit = p == r
+
+            def live(acc):
+                sc = self.mxu(eo, hidden_table(params["R"][r]).T)  # (B, n_e)
+                return acc + jnp.where(hit[:, None], sc, 0.0)
+
+            acc = jax.lax.cond(jnp.any(hit), live, lambda a: a, acc)
+            return acc, None
+
+        acc = jnp.zeros((o.shape[0], n_e), eo.dtype)
+        acc, _ = jax.lax.scan(rel_body, acc, jnp.arange(self.n_relations))
+        return acc + bo[:, None]

@@ -108,6 +108,32 @@ def test_experiment_cli_reciprocal_ce(tmp_path):
         Experiment(bad)
 
 
+def test_experiment_cli_conve_scaleout(tmp_path):
+    """ConvE reaches the scale-out trainers via the CLI (--ce implied
+    reciprocal; round-4 lift of the --trainer single restriction), and
+    the pairwise pool path still gets the clear canonicalization error."""
+    from skge_tpu.experiment import main
+
+    ds = synthetic_kg(60, 4, n_train=300, n_valid=30, n_test=30, seed=3)
+    path = str(tmp_path / "kg.bin")
+    save_dataset(ds, path)
+    for extra in (["--trainer", "partitioned"],
+                  ["--trainer", "outofcore", "--parts", "2"]):
+        rc = main([
+            "--cpu", "--fin", path, "--model", "conve", "--ncomp", "16",
+            "--ce", "--optimizer", "adam", "--lr", "5e-3",
+            "--me", "2", "--nb", "8", "--test-all", "0",
+        ] + extra)
+        assert rc == 0, extra
+    import pytest
+
+    with pytest.raises(SystemExit, match="canonical"):
+        main([
+            "--cpu", "--fin", path, "--model", "conve", "--ncomp", "16",
+            "--trainer", "partitioned", "--me", "1", "--nb", "4",
+        ])
+
+
 def test_experiment_cli_selfadv_scaleout(tmp_path):
     """--selfadv reaches the partitioned and out-of-core trainers (it was
     silently downgraded to margin loss before)."""
