@@ -108,6 +108,11 @@ def parse_args(argv=None):
                     help="[--sweep] rung-0 epoch budget (default "
                     "max(epochs//8, 5))")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--train-seed", type=int, default=0,
+                    help="training PRNG seed (init + sampling); the KG "
+                    "split stays seed=0 so N-seed replication measures "
+                    "TRAINING variance on a fixed dataset (VERDICT r3 "
+                    "item 2c)")
     args = ap.parse_args(argv)
     if args.loss == "selfadv" and args.sampler != "shared":
         ap.error("--loss selfadv needs the shared-pool sampler")
@@ -371,7 +376,7 @@ def main(argv=None) -> None:
             make_epoch_fn(step, int(train_xs.shape[0]), args.nbatches),
             donate_argnums=(0,),
         )
-        state = init_state(model, opt, jax.random.PRNGKey(0))
+        state = init_state(model, opt, jax.random.PRNGKey(args.train_seed))
         val_ev = _get_eval(eval_model or model, "valid") if eval_every else None
         best = (-1.0, 0, None)  # (valid mrr, epoch, params)
         bad = 0
@@ -477,6 +482,8 @@ def main(argv=None) -> None:
                 tag = f"m={cfg['margin']} lr={cfg['lr']} {tag}"
             if args.eval_every:
                 tag += f" best@{row['epochs']}"
+            if args.train_seed:
+                tag += f" seed={args.train_seed}"
             header = (
                 f"| {name} {tag} ep={args.epochs} | {row['mrr']} | "
                 f"{row['mrr_raw']} | {row['hits1']} | {row['hits3']} | "

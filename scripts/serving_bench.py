@@ -38,9 +38,11 @@ def main() -> None:
                     help="compute_dtype='bfloat16' for the sweep matmuls "
                     "(params stay fp32; exactness of the top-K set is NOT "
                     "guaranteed at bf16 — measure the recall trade)")
-    ap.add_argument("--quantize", default="", choices=["", "int8", "bfloat16"],
+    ap.add_argument("--quantize", default="", choices=["", "int8", "fp8", "bfloat16"],
                     help="entity-table quantization (serving.py): 'int8' = "
-                    "4x HBM capacity / upload bytes, 'bfloat16' = 2x; "
+                    "4x HBM capacity / upload bytes, 'fp8' = same 4x "
+                    "with e4m3 rounding (equal-bytes A/B vs int8), "
+                    "'bfloat16' = 2x; "
                     "approximate scores — pair with --recall")
     ap.add_argument("--recall", action="store_true",
                     help="also run the exact engine and report mean top-k "

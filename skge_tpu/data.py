@@ -207,6 +207,13 @@ def synthetic_kg(
     )
 
 
+# latent_kg switches its object-assignment sweep from one (chunk, n_e)
+# matmul to a blocked running-argmax scan above this entity count (HBM:
+# the full score matrix stops fitting). Module-level so tests can lower it
+# and pin blocked == single-matmul equality at CPU-sized vocabularies.
+_BLOCKED_SWEEP_THRESHOLD = 1 << 21
+
+
 def latent_kg(
     n_entities: int,
     n_relations: int,
@@ -292,6 +299,27 @@ def latent_kg(
     zn = jnp.sum(Zd * Zd, axis=1)
     chunk = 16384
 
+    # Beyond ~2M entities the (chunk, n_e) score matrix stops fitting HBM
+    # (10^7 entities x 16384 queries x 4 B = 640 GB) — the sweep switches
+    # to a lax.scan over candidate BLOCKS with a running (argmax, max)
+    # carry: device footprint is one (chunk, block) tile + the carry,
+    # independent of n_e (VERDICT r3 item 5's "stream/shard the argmax
+    # sweep"). The small-n_e single-matmul path is kept VERBATIM: blocked
+    # matmuls reduce in a different order, and a near-tie flipping under
+    # ulp drift would silently change every cached dataset.
+    big = n_entities > _BLOCKED_SWEEP_THRESHOLD
+    if big:
+        block = min(1 << 17, -(-n_entities // 2))
+        chunk = 4096  # (chunk, block) fp32 tile = 2 GB at the full block
+        n_blocks = -(-n_entities // block)
+        padded_e = n_blocks * block
+        Zp = jnp.concatenate(
+            [Zd, jnp.zeros((padded_e - n_entities, latent_dim), Zd.dtype)]
+        ).reshape(n_blocks, block, latent_dim)
+        znp = jnp.concatenate(
+            [zn, jnp.full((padded_e - n_entities,), jnp.inf, zn.dtype)]
+        ).reshape(n_blocks, block)
+
     @jax.jit
     def assign(s, p, eps):
         if kind == "translational":
@@ -303,10 +331,42 @@ def latent_kg(
             q = jnp.concatenate([a * c - b * sn, a * sn + b * c], axis=1) + eps
         else:  # bilinear: query = z_s^T W_p, scored by dot
             q = jnp.einsum("bd,bde->be", Zd[s], Rd[p]) + eps
-        dots = jnp.dot(q, Zd.T, preferred_element_type=jnp.float32)
-        if kind == "bilinear":
-            return jnp.argmax(dots, axis=1).astype(jnp.int32)
-        return jnp.argmin(zn[None, :] - 2.0 * dots, axis=1).astype(jnp.int32)
+        if not big:
+            dots = jnp.dot(q, Zd.T, preferred_element_type=jnp.float32)
+            if kind == "bilinear":
+                return jnp.argmax(dots, axis=1).astype(jnp.int32)
+            return jnp.argmin(
+                zn[None, :] - 2.0 * dots, axis=1
+            ).astype(jnp.int32)
+
+        def body(carry, blk):
+            best_val, best_idx = carry
+            zblk, znblk, base = blk
+            dots = jnp.dot(q, zblk.T, preferred_element_type=jnp.float32)
+            if kind == "bilinear":
+                # padding rows are exact zeros: their dot is 0, which could
+                # win a degenerate all-negative row — push them to -inf
+                sc = jnp.where(jnp.isinf(znblk)[None, :], -jnp.inf, dots)
+            else:
+                sc = -(znblk[None, :] - 2.0 * dots)  # -inf at padding
+            loc = jnp.argmax(sc, axis=1)
+            val = jnp.take_along_axis(sc, loc[:, None], axis=1)[:, 0]
+            better = val > best_val  # strict: first block keeps ties, like
+            #                          argmax's first-occurrence rule
+            return (
+                jnp.where(better, val, best_val),
+                jnp.where(better, base + loc.astype(jnp.int32), best_idx),
+            ), None
+
+        bases = (jnp.arange(n_blocks, dtype=jnp.int32) * block)
+        init = (
+            jnp.full((q.shape[0],), -jnp.inf, jnp.float32),
+            jnp.zeros((q.shape[0],), jnp.int32),
+        )
+        (best_val, best_idx), _ = jax.lax.scan(
+            body, init, (Zp, znp, bases)
+        )
+        return best_idx
 
     triples = np.zeros((0, 3), np.int32)
     while triples.shape[0] < total:

@@ -51,6 +51,7 @@ __all__ = [
     "LinkPredictor",
     "StreamedLinkPredictor",
     "TopKResult",
+    "quantize_table_fp8",
     "quantize_table_int8",
     "top_k_candidates",
 ]
@@ -72,6 +73,35 @@ def quantize_table_int8(table) -> Dict[str, np.ndarray]:
     scale = (absmax / 127.0 + np.float32(1e-30)).astype(np.float32)
     q = np.clip(np.rint(t / scale), -127, 127).astype(np.int8)
     return {"q": q, "scale": scale}
+
+
+def quantize_table_fp8(table) -> Dict[str, np.ndarray]:
+    """Per-row scaled `float8_e4m3fn` quantization (VERDICT r3 item 9).
+
+    Same 1 byte/element and per-row scale as int8 (scale = absmax/448,
+    e4m3fn's max normal), so the A/B against int8 is at EQUAL storage and
+    upload bytes. The representational trade: int8 spends its 8 bits on a
+    uniform grid (~7 significant bits at full row scale); e4m3 spends them
+    on 3 mantissa bits + exponent, so small-magnitude coordinates keep
+    relative precision while coordinates near absmax see ~16x coarser
+    steps than int8. KGE retrieval ranks by a SUM over coordinates —
+    absolute, not relative, error is what perturbs it — so int8 should
+    win recall at equal bytes; the measured table in RESULTS.md confirms
+    it (v5e also has no native fp8 MXU path, so there is no throughput
+    rebate either; the sweep dequantizes to fp32 like int8's). Kept as a
+    supported mode because the equal-bytes comparison is the evidence.
+    """
+    import ml_dtypes
+
+    t = np.asarray(table, np.float32)
+    absmax = np.max(np.abs(t), axis=tuple(range(1, t.ndim)), keepdims=True)
+    scale = (absmax / 448.0 + np.float32(1e-30)).astype(np.float32)
+    q = (t / scale).astype(ml_dtypes.float8_e4m3fn)
+    return {"q": q, "scale": scale}
+
+
+_QUANTIZERS = {"int8": quantize_table_int8, "fp8": quantize_table_fp8}
+_QUANT_MODES = ("", "int8", "fp8", "bfloat16")
 
 
 @dataclass
@@ -101,7 +131,7 @@ def _entity_param(model: KGEModel) -> str:
 def _deq_table(qe, quantize: str):
     """Full dequantized candidate table (XLA fuses the elementwise dequant
     into the consuming sweep matmul's operand stream)."""
-    if quantize == "int8":
+    if quantize in ("int8", "fp8"):
         return qe["q"].astype(jnp.float32) * qe["scale"]
     if quantize == "bfloat16":
         return qe.astype(jnp.float32)
@@ -109,7 +139,7 @@ def _deq_table(qe, quantize: str):
 
 
 def _deq_rows(qe, idx, quantize: str):
-    if quantize == "int8":
+    if quantize in ("int8", "fp8"):
         return qe["q"][idx].astype(jnp.float32) * qe["scale"][idx]
     if quantize == "bfloat16":
         return qe[idx].astype(jnp.float32)
@@ -200,18 +230,20 @@ class LinkPredictor:
     ):
         """`quantize` compresses the (dominant) entity table in HBM:
         'int8' — per-row symmetric int8 (4x capacity; approximate scores,
-        measure recall with scripts/serving_bench.py --recall), 'bfloat16'
-        — plain cast (2x). Other params stay fp32; queries dequantize per
-        gather and candidates per sweep, inside the jitted kernel."""
+        measure recall with scripts/serving_bench.py --recall), 'fp8' —
+        per-row-scaled float8_e4m3fn (same 4x; see quantize_table_fp8 for
+        the equal-bytes trade vs int8), 'bfloat16' — plain cast (2x).
+        Other params stay fp32; queries dequantize per gather and
+        candidates per sweep, inside the jitted kernel."""
         self.model = model
         self.quantize = quantize
-        if quantize not in ("", "int8", "bfloat16"):
+        if quantize not in _QUANT_MODES:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         if quantize:
             epname = _entity_param(model)
             params = dict(params)
-            if quantize == "int8":
-                qt = quantize_table_int8(params[epname])
+            if quantize in _QUANTIZERS:
+                qt = _QUANTIZERS[quantize](params[epname])
                 params[epname] = {
                     "q": jnp.asarray(qt["q"]),
                     "scale": jnp.asarray(qt["scale"]),
@@ -448,20 +480,22 @@ class StreamedLinkPredictor:
         """`quantize='int8'` stores the HOST table quantized (4x less host
         RAM) and — the real win here — uploads each candidate chunk as
         int8 + per-row scales: 4x fewer host->device bytes on the
-        streaming path, which is upload-bound by construction. 'bfloat16'
-        halves both. Scores are approximate; query rows dequantize from
-        the same representation so the engine is self-consistent."""
+        streaming path, which is upload-bound by construction. 'fp8' is
+        the same bytes with e4m3 rounding (see quantize_table_fp8);
+        'bfloat16' halves both. Scores are approximate; query rows
+        dequantize from the same representation so the engine is
+        self-consistent."""
         self.model = model
         self.quantize = quantize
-        if quantize not in ("", "int8", "bfloat16"):
+        if quantize not in _QUANT_MODES:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.batch_size = int(batch_size)
         self.chunk = int(min(chunk, model.n_entities))
         epname = _entity_param(model)
         self._epname = epname
         self._E = np.asarray(params_host[epname])
-        if quantize == "int8":
-            self._Eq = quantize_table_int8(self._E)
+        if quantize in _QUANTIZERS:
+            self._Eq = _QUANTIZERS[quantize](self._E)
             # host query gathers read the dequantized values so the engine
             # is consistent with what the device sweep sees
             self._E = self._Eq["q"].astype(np.float32) * self._Eq["scale"]
@@ -595,7 +629,7 @@ class StreamedLinkPredictor:
 
             for cbase in range(0, n_e, C):
                 nrows = min(C, n_e - cbase)
-                if self.quantize == "int8":
+                if self.quantize in _QUANTIZERS:
                     payload = {
                         "q": jnp.asarray(_pad(
                             self._Eq["q"][cbase : cbase + C], nrows)),

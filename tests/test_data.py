@@ -70,6 +70,28 @@ def test_experiment_cli_scaleout_trainers(tmp_path):
         assert rc == 0, extra
 
 
+def test_latent_kg_blocked_sweep_matches_single_matmul():
+    """The >2M-entity blocked argmax sweep (running-best lax.scan over
+    candidate blocks — VERDICT r3 item 5) assigns the same objects as the
+    single-matmul path, all three geometries, threshold lowered so the
+    comparison runs at CPU scale. Values are identical when per-row dots
+    reduce identically; the strict-improvement carry reproduces argmax's
+    first-occurrence tie rule."""
+    from skge_tpu import data as dmod
+
+    for kind in ("translational", "bilinear", "rotational"):
+        ref = latent_kg(500, 4, n_train=900, latent_dim=8, seed=2,
+                        kind=kind)
+        old = dmod._BLOCKED_SWEEP_THRESHOLD
+        dmod._BLOCKED_SWEEP_THRESHOLD = 100
+        try:
+            blk = latent_kg(500, 4, n_train=900, latent_dim=8, seed=2,
+                            kind=kind)
+        finally:
+            dmod._BLOCKED_SWEEP_THRESHOLD = old
+        np.testing.assert_array_equal(ref.train, blk.train, err_msg=kind)
+
+
 def test_latent_kg_capacity_guard():
     with pytest.raises(ValueError, match="unique noise-free"):
         latent_kg(n_entities=10, n_relations=2, n_train=100)

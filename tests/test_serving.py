@@ -255,45 +255,49 @@ def test_aot_compile_and_export_roundtrip():
 # Quantized serving (int8 / bfloat16 entity tables)
 # ---------------------------------------------------------------------------
 
-def test_int8_engine_equals_exact_on_dequantized_table():
-    """Wiring exactness: LinkPredictor(quantize='int8') must produce the
+@pytest.mark.parametrize("mode", ["int8", "fp8"])
+def test_quantized_engine_equals_exact_on_dequantized_table(mode):
+    """Wiring exactness: LinkPredictor(quantize=...) must produce the
     IDENTICAL ranking that the exact engine produces on the explicitly
     quantize->dequantized table — quantization error is a property of the
     representation, never of the engine plumbing."""
-    from skge_tpu.serving import quantize_table_int8
+    from skge_tpu.serving import quantize_table_fp8, quantize_table_int8
+
+    quantizer = {"int8": quantize_table_int8, "fp8": quantize_table_fp8}
 
     model = MODELS["distmult"](N_E, N_R, D)  # fp32: the production dtype
     params = dict(make_params(model))
     q = make_queries()
-    qt = quantize_table_int8(np.asarray(params["E"]))
+    qt = quantizer[mode](np.asarray(params["E"]))
     deq = (qt["q"].astype(np.float32) * qt["scale"])
     exact = LinkPredictor(
         model, {**params, "E": jnp.asarray(deq)}
     ).top_k(q, 10, filtered=False)
-    quant = LinkPredictor(model, params, quantize="int8").top_k(
+    quant = LinkPredictor(model, params, quantize=mode).top_k(
         q, 10, filtered=False
     )
     np.testing.assert_array_equal(exact.entities, quant.entities)
     np.testing.assert_allclose(exact.scores, quant.scores, rtol=1e-6)
 
 
-def test_streamed_int8_matches_incore_int8():
+@pytest.mark.parametrize("mode", ["int8", "fp8"])
+def test_streamed_quantized_matches_incore_quantized(mode):
     model = MODELS["transe"](N_E, N_R, D, l1=False)
     params = dict(make_params(model, seed=4))
     q = make_queries(seed=5)
-    incore = LinkPredictor(model, params, quantize="int8").top_k(
+    incore = LinkPredictor(model, params, quantize=mode).top_k(
         q, 7, filtered=False
     )
     host = {k: np.asarray(v) for k, v in params.items()}
     streamed = StreamedLinkPredictor(
-        model, host, chunk=17, quantize="int8"
+        model, host, chunk=17, quantize=mode
     ).top_k(q, 7, filtered=False)
     np.testing.assert_array_equal(incore.entities, streamed.entities)
     np.testing.assert_allclose(incore.scores, streamed.scores,
                                rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("mode", ["int8", "bfloat16"])
+@pytest.mark.parametrize("mode", ["int8", "fp8", "bfloat16"])
 def test_quantized_recall_reasonable(mode):
     """Approximation sanity: per-row int8 keeps top-10 recall high on a
     random fp32 table (scores shift by O(0.4%) of the row absmax)."""
