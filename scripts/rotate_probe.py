@@ -177,7 +177,8 @@ def main(argv=None) -> None:
         if "nunif" in variants:
             rows.append(run(
                 f"nunif g={g}",
-                RotatE(ds.n_entities, ds.n_relations, args.ncomp),
+                RotatE(ds.n_entities, ds.n_relations, args.ncomp,
+                       phase_init="nunif"),
                 g,
             ))
         if "mixed" in variants:

@@ -56,11 +56,19 @@ class RotatE(KGEModel):
 
     rparam: float = 0.0
     gamma_init: float = 0.0
-    # "uniform" draws ONLY the phases from U(-pi, pi) (the paper's phase
-    # distribution) while entities keep the standard `init` — isolates the
-    # phase-spread mechanism from the entity-scale coupling of
-    # `gamma_init` (round-4 probe)
-    phase_init: str = ""
+    # Phase distribution at init. "uniform" (DEFAULT) draws phases from
+    # U(-pi, pi) — the paper's distribution — while entities keep the
+    # standard `init`. The round-4 mechanism probe measured why this
+    # matters: nunif phases start in (-0.42, 0.42) (every relation a
+    # near-identity rotation) and AdaGrad's accumulator freezes them
+    # before they spread (final sd 1.2-1.4 vs the 1.81 a uniform
+    # distribution has), costing 4.2x MRR on the exactly-realizable
+    # rotational latent KG (0.0106 -> 0.0446, RESULTS.md round 4).
+    # "nunif" restores the old behavior. The FULL paper init
+    # (gamma-coupled entity range, `gamma_init`) measured WORSE than
+    # nunif entities here — only the phase half of it is right for
+    # AdaGrad.
+    phase_init: str = "uniform"
 
     name = "rotate"
     reg_row_params = ("E",)  # phases are scale-free; regularizing them
@@ -89,10 +97,12 @@ class RotatE(KGEModel):
                 kr, (self.n_relations, self.ncomp), self.jdtype,
                 minval=-math.pi, maxval=math.pi,
             )
-        else:
-            # phases start near identity rotations (small angles from the
-            # standard initializer); training spreads them over (-pi, pi]
+        elif self.phase_init == "nunif":
+            # legacy: phases start near identity rotations; AdaGrad tends
+            # to freeze them under-spread (see class docstring)
             phases = init(kr, (self.n_relations, self.ncomp), self.jdtype)
+        else:
+            raise ValueError(f"unknown phase_init {self.phase_init!r}")
         return {
             "E": init(ke, (self.n_entities, 2 * self.ncomp), self.jdtype),
             "R": phases,

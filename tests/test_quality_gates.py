@@ -155,5 +155,8 @@ def test_rotate_wins_rotational_geometry_at_2k():
     )
     model = RotatE(ds.n_entities, ds.n_relations, 32)
     res = _selfadv_train_eval(model, ds, gamma=3.0)
-    assert res.mrr > 0.06, res   # measured 0.125 @150ep, 0.234 @300ep
-    assert res.hits[10] > 0.12, res
+    # ratcheted for the round-4 phase_init='uniform' default: measured
+    # 0.3582 / H@10 0.685 @150ep (was 0.125 under nunif phases — the
+    # AdaGrad phase-freeze mechanism, RESULTS.md round 4)
+    assert res.mrr > 0.20, res
+    assert res.hits[10] > 0.45, res
