@@ -1,0 +1,175 @@
+"""10^7-entity end-to-end flagship demo on one TPU chip (VERDICT r3 item 5).
+
+Composes the framework's scale pieces at the largest size this
+environment holds, with wall-clock per phase:
+
+1. BUILD  — `data.latent_kg` at 10M entities (translational, learnable
+   density), object assignment via the blocked argmax sweep (one
+   (4096, 131072) tile in HBM, never a (chunk, n_e) matrix); /tmp npz
+   cache.
+2. TRAIN  — `OutOfCoreTrainer(loss='sampled_ce')`: reciprocal +
+   object-direction sampled softmax (k-entity resident pool) + row-sparse
+   lazy Adam, entity table + optimizer slots in HOST RAM (P partitions,
+   2 resident on device), `host_buckets=True` so the relabeled triple
+   stack stays host-side too.
+3. EVAL   — streamed filtered ranking (candidates one partition at a
+   time, reciprocal head routing) on the held-out split.
+4. CKPT   — sharded per-partition checkpoint save + restore.
+
+Reports a quality number vs random (random filtered MRR ~ 1.4e-7 at
+10M entities) and the device-footprint arithmetic. Smoke-testable on
+CPU at small sizes via the flags.
+
+Usage:
+    python scripts/flagship_10m.py                       # the real thing
+    python scripts/flagship_10m.py --cpu --entities 2000 --ntrain 8000 \
+        --dim 16 --parts 2 --epochs 2 --k 256            # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entities", type=int, default=10_000_000)
+    ap.add_argument("--relations", type=int, default=64)
+    ap.add_argument("--ntrain", type=int, default=40_000_000)
+    ap.add_argument("--nheld", type=int, default=5000)
+    ap.add_argument("--latent-dim", type=int, default=16)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--parts", type=int, default=8)
+    ap.add_argument("--k", type=int, default=8192)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--nbatches", type=int, default=400,
+                    help="minibatches per bucket epoch")
+    ap.add_argument("--eval-batch", type=int, default=512)
+    ap.add_argument("--eval-n", type=int, default=1000,
+                    help="held-out queries to rank (streamed eval cost is "
+                    "queries x n_entities x d)")
+    ap.add_argument("--ckpt", default="/tmp/flagship_10m_ckpt")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from skge_tpu import Adam
+    from skge_tpu.data import Dataset, add_reciprocal_relations, latent_kg
+    from skge_tpu.models import DistMult
+    from skge_tpu.outofcore import OutOfCoreTrainer
+
+    report = {"config": {
+        "entities": args.entities, "relations": args.relations,
+        "ntrain": args.ntrain, "dim": args.dim, "parts": args.parts,
+        "k": args.k, "epochs": args.epochs,
+    }}
+
+    # ---- phase 1: build -------------------------------------------------
+    cache = os.path.join(
+        "/tmp",
+        f"latent_kg_translational-e{args.entities}-r{args.relations}"
+        f"-t{args.ntrain}-h{args.nheld}-l{args.latent_dim}-s0.npz",
+    )
+    t0 = time.perf_counter()
+    if os.path.exists(cache):
+        z = np.load(cache)
+        ds = Dataset(train=z["train"], valid=z["valid"], test=z["test"],
+                     n_entities=args.entities, n_relations=args.relations)
+        report["build_s"] = {"cached": round(time.perf_counter() - t0, 1)}
+    else:
+        ds = latent_kg(
+            n_entities=args.entities, n_relations=args.relations,
+            n_train=args.ntrain, n_valid=args.nheld, n_test=args.nheld,
+            latent_dim=args.latent_dim, seed=0, kind="translational",
+        )
+        report["build_s"] = round(time.perf_counter() - t0, 1)
+        np.savez(cache, train=ds.train, valid=ds.valid, test=ds.test)
+    print(json.dumps({"phase": "build", **report}), flush=True)
+
+    # ---- phase 2: trainer init (partition + relabel + host tables) ------
+    t0 = time.perf_counter()
+    aug = add_reciprocal_relations(ds)
+    model = DistMult(aug.n_entities, aug.n_relations, args.dim)
+    tr = OutOfCoreTrainer(
+        model, Adam(lr=1e-3), aug.train, n_parts=args.parts, k=args.k,
+        nbatches=args.nbatches, seed=0, loss="sampled_ce",
+        label_smoothing=0.1, ce_directions=("o",),
+        host_buckets=args.entities > 2_000_000,
+    )
+    host_bytes = sum(v.nbytes for v in tr.e_host.values())
+    report["init_s"] = round(time.perf_counter() - t0, 1)
+    report["host_table_gb"] = round(host_bytes / 1e9, 2)
+    report["device_rows_resident"] = 2 * tr.part_size
+    report["buckets"] = len(tr.buckets)
+    print(json.dumps({"phase": "init", "init_s": report["init_s"],
+                      "host_table_gb": report["host_table_gb"],
+                      "part_size": tr.part_size,
+                      "buckets": report["buckets"]}), flush=True)
+
+    # ---- phase 3: train --------------------------------------------------
+    t0 = time.perf_counter()
+    for e in range(args.epochs):
+        te = time.perf_counter()
+        tr.fit(epochs=1)
+        m = tr.metrics[-1]
+        print(json.dumps({"phase": "train", "epoch": e,
+                          "loss": round(m["loss"], 2),
+                          "epoch_s": round(time.perf_counter() - te, 1),
+                          "uploads": tr.uploads}), flush=True)
+    train_s = time.perf_counter() - t0
+    report["train_s"] = round(train_s, 1)
+    # work units: (k+1) candidate scorings per positive per direction
+    report["scored_per_s"] = round(
+        args.epochs * len(aug.train) * (args.k + 1) / train_s
+    )
+
+    # ---- phase 4: streamed eval ------------------------------------------
+    t0 = time.perf_counter()
+    res = tr.evaluate(
+        ds.test[: args.eval_n], aug.all_triples(),
+        batch_size=args.eval_batch, reciprocal=True,
+    )
+    report["eval_s"] = round(time.perf_counter() - t0, 1)
+    report["mrr"] = round(res.mrr, 5)
+    report["hits10"] = round(res.hits[10], 4)
+    report["mr"] = round(res.mean_rank, 1)
+    report["random_mrr"] = round(
+        float(np.log(args.entities) / args.entities), 9
+    )  # E[1/rank] under uniform ranks ~ ln(n)/n
+    print(json.dumps({"phase": "eval", "eval_s": report["eval_s"],
+                      "mrr": report["mrr"], "hits10": report["hits10"],
+                      "mr": report["mr"]}), flush=True)
+
+    # ---- phase 5: sharded checkpoint --------------------------------------
+    t0 = time.perf_counter()
+    tr.save(args.ckpt)
+    save_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tr.restore(args.ckpt)
+    report["ckpt_save_s"] = round(save_s, 1)
+    report["ckpt_restore_s"] = round(time.perf_counter() - t0, 1)
+    report["ckpt_gb"] = round(sum(
+        os.path.getsize(os.path.join(args.ckpt, f))
+        for f in os.listdir(args.ckpt)
+    ) / 1e9, 2)
+
+    print(json.dumps(report), flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(report) + "\n")
+
+
+if __name__ == "__main__":
+    main()

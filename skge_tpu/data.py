@@ -370,13 +370,20 @@ def latent_kg(
 
     triples = np.zeros((0, 3), np.int32)
     while triples.shape[0] < total:
-        s = rng.integers(0, n_entities, total).astype(np.int32)
-        p = rng.integers(0, n_relations, total).astype(np.int32)
-        o = np.zeros(total, np.int32)
-        pad = (-total) % chunk
+        # the small-n_e loop redraws the FULL total each iteration (kept
+        # verbatim: the rng stream determines every cached dataset); the
+        # big regime draws only the dedup shortfall — at 10^7 entities a
+        # full redraw is a multi-minute argmax sweep per iteration
+        draw = total if not big else min(
+            total, max(chunk, int((total - triples.shape[0]) * 1.1))
+        )
+        s = rng.integers(0, n_entities, draw).astype(np.int32)
+        p = rng.integers(0, n_relations, draw).astype(np.int32)
+        o = np.zeros(draw, np.int32)
+        pad = (-draw) % chunk
         sp = np.concatenate([s, np.zeros(pad, np.int32)])
         pp = np.concatenate([p, np.zeros(pad, np.int32)])
-        for lo in range(0, total, chunk):
+        for lo in range(0, draw, chunk):
             eps = (
                 (rng.normal(size=(chunk, latent_dim)) * noise).astype(np.float32)
                 if noise > 0.0
@@ -389,7 +396,10 @@ def latent_kg(
                     jnp.asarray(eps),
                 )
             )
-            hi = min(lo + chunk, total)
+            hi = min(lo + chunk, draw)
+            if big and (lo // chunk) % 512 == 0:
+                print(f"latent_kg sweep: {lo}/{draw} queries assigned",
+                      flush=True)
             o[lo:hi] = oc[: hi - lo]
         cand = np.stack([s, o, p], axis=1)
         triples = np.concatenate([triples, cand])

@@ -159,6 +159,7 @@ class OutOfCoreTrainer:
         adv_alpha: float = 1.0,
         ce_directions=("o", "s"),
         label_smoothing: float = 0.0,
+        host_buckets: bool = False,
     ):
         """`pairwise=False` trains with the pointwise logistic loss
         (StochasticTrainer semantics, skge/base.py ~180) over the same
@@ -253,9 +254,22 @@ class OutOfCoreTrainer:
                 self.part_counts[pi], self.part_counts[pj], 0,
             )
             self._bucket_row[(pi, pj)] = bi
-        self._all_local = jnp.asarray(all_local)
-        self._all_valid = jnp.asarray(all_valid)
-        self._all_sizes = jnp.asarray(all_sizes)
+        # bucket triples live on device by default (one upload, no per-
+        # bucket transfers — right below ~10^7 triples). `host_buckets`
+        # keeps them in host RAM and uploads per bucket visit: at 10^8+
+        # relabeled rows the padded (n_buckets, max_len, 3) stack is
+        # multiple GB and competes with the resident entity parts for HBM
+        # — the transfers then ride the same prefetch overlap as the part
+        # uploads.
+        self.host_buckets = bool(host_buckets)
+        if self.host_buckets:
+            self._all_local, self._all_valid, self._all_sizes = (
+                all_local, all_valid, all_sizes,
+            )
+        else:
+            self._all_local = jnp.asarray(all_local)
+            self._all_valid = jnp.asarray(all_valid)
+            self._all_sizes = jnp.asarray(all_sizes)
         self.nbatches = nbatches
         self.k = k
 
@@ -425,9 +439,14 @@ class OutOfCoreTrainer:
         s = self.part_size
         diag = pi == pj
         bi = self._bucket_row[(pi, pj)]
-        local = self._all_local[bi]
-        valid = self._all_valid[bi]
-        sizes_row = self._all_sizes[bi]
+        if self.host_buckets:
+            local = jnp.asarray(self._all_local[bi])
+            valid = jnp.asarray(self._all_valid[bi])
+            sizes_row = jnp.asarray(self._all_sizes[bi])
+        else:
+            local = self._all_local[bi]
+            valid = self._all_valid[bi]
+            sizes_row = self._all_sizes[bi]
 
         # resident rows from the device cache (host upload only on miss).
         # Refresh the LRU slot of already-resident parts FIRST: otherwise a
