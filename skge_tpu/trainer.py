@@ -184,6 +184,16 @@ class Trainer:
                 self.model, self.opt, self.mesh,
                 tuple(cfg.ce_directions), cfg.label_smoothing,
             )
+        elif cfg.loss == "sampled_ce":
+            from skge_tpu.parallel.shardmap_step import (
+                make_shardmap_sampled_ce_step,
+            )
+
+            step = make_shardmap_sampled_ce_step(
+                self.model, self.opt, self.sampler, self.mesh,
+                tuple(cfg.ce_directions), cfg.label_smoothing,
+                shard_relations=cfg.shard_relations,
+            )
         elif cfg.loss == "selfadv":
             from skge_tpu.parallel.shardmap_step import (
                 make_shardmap_selfadv_step,
@@ -221,13 +231,14 @@ class Trainer:
             )
         if self.mesh is not None:
             cfg = self.config
-            if cfg.loss in ("ce", "selfadv") or cfg.pairwise:
+            if cfg.loss in ("ce", "selfadv", "sampled_ce") or cfg.pairwise:
                 from skge_tpu.parallel.shardmap_step import shard_state_shardmap
 
                 state = shard_state_shardmap(
                     state, self.model, self.mesh,
-                    # relation sharding exists on the pairwise/selfadv
-                    # shard_map steps (not the vocab-parallel CE step)
+                    # relation sharding exists on the pairwise/selfadv/
+                    # sampled-CE shard_map steps (not the vocab-parallel
+                    # full-CE step)
                     shard_relations=(
                         cfg.loss != "ce" and cfg.shard_relations
                     ),

@@ -322,3 +322,73 @@ def test_shardmap_selfadv_matches_single_device(mesh_shape):
                 rtol=1e-10, atol=1e-13,
                 err_msg=f"{case}/{mesh_shape}/{pname}",
             )
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (4, 2), (2, 4)])
+def test_shardmap_sampled_ce_matches_single_device(mesh_shape):
+    """The explicit-SPMD sampled-softmax-CE step reproduces the
+    single-device make_sampled_ce_step trajectory exactly (fp64): sum
+    semantics over duplicate occurrences, global-mean rescale across data
+    shards, unigram log_q proposal correction, label smoothing, and
+    dense-param recombination (ER-MLP's W/C)."""
+    from skge_tpu import init_state
+    from skge_tpu.parallel.shardmap_step import make_shardmap_sampled_ce_step
+    from skge_tpu.training import make_sampled_ce_step
+
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs 8 virtual devices")
+    batch = make_batch(23)
+    # last quarter masked: on the (4, 2) mesh the final data shard is
+    # ENTIRELY padding, pinning the raw-count global denominator
+    mask = jnp.asarray((np.arange(B) < 3 * B // 4).astype(np.float64))
+    rng = np.random.default_rng(24)
+    # duplicate ids inside the pool exercise the SUM-combine semantics
+    pool = jnp.asarray(
+        np.concatenate([rng.integers(0, N_E, 7), [3, 3]]), jnp.int32
+    )
+
+    class Pool:
+        k = 9
+
+        def pool(self, key, pos, m):
+            return pool
+
+    class UnigramPool(Pool):
+        logits = np.log(np.arange(1, N_E + 1, dtype=np.float64))
+
+    for case, sampler, ls in (
+        ("transe", Pool(), 0.0),
+        ("ermlp", Pool(), 0.1),
+        ("transe", UnigramPool(), 0.1),
+    ):
+        model = make_model(case)
+        opt = AdaGrad(lr=0.1)
+        ref_step = make_sampled_ce_step(
+            model, opt, sampler, label_smoothing=ls, aggregate="dense"
+        )
+        ref = init_state(model, opt, jax.random.PRNGKey(7))
+        for _ in range(3):
+            ref, rm = jax.jit(ref_step)(ref, batch, mask)
+
+        mesh = make_mesh(jax.devices()[:n_dev], shape=mesh_shape)
+        step = make_shardmap_sampled_ce_step(
+            model, opt, sampler, mesh, label_smoothing=ls
+        )
+        state = shard_state_shardmap(
+            init_state(model, opt, jax.random.PRNGKey(7)), model, mesh
+        )
+        for _ in range(3):
+            state, m = step(state, batch, mask)
+        tag = f"{case}/{type(sampler).__name__}/{mesh_shape}"
+        np.testing.assert_allclose(
+            float(m.loss), float(rm.loss), rtol=1e-12,
+            err_msg=f"{tag} loss",
+        )
+        for pname in ref.params:
+            np.testing.assert_allclose(
+                np.asarray(state.params[pname]),
+                np.asarray(ref.params[pname]),
+                rtol=1e-10, atol=1e-13,
+                err_msg=f"{tag}/{pname}",
+            )

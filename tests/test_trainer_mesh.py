@@ -138,3 +138,30 @@ def test_trainer_mesh_selfadv_matches_single_device():
     b = run(None)
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-10, atol=1e-13)
+
+
+def test_trainer_mesh_sampled_ce_matches_single_device():
+    """Trainer(mesh=..., loss='sampled_ce') reproduces the single-device
+    sampled-softmax-CE trajectory (same global key stream)."""
+    from skge_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    ds = synthetic_kg(n_entities=48, n_relations=4, n_train=200, seed=5)
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+
+    def run(mesh_arg):
+        model = TransE(ds.n_entities, ds.n_relations, 8, l1=False,
+                       dtype="float64")
+        cfg = TrainConfig(max_epochs=3, nbatches=4, learning_rate=0.1,
+                          loss="sampled_ce", label_smoothing=0.1,
+                          aggregate="dense", seed=0)
+        tr = Trainer(model, SharedNegativeSampler(ds.n_entities, k=8),
+                     cfg, mesh=mesh_arg)
+        tr.fit(ds.train)
+        return {k: np.asarray(v) for k, v in tr.state.params.items()}
+
+    a = run(mesh)
+    b = run(None)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-10, atol=1e-13)
