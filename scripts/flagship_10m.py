@@ -3,10 +3,13 @@
 Composes the framework's scale pieces at the largest size this
 environment holds, with wall-clock per phase:
 
-1. BUILD  — `data.latent_kg` at 10M entities (translational, learnable
-   density), object assignment via the blocked argmax sweep (one
-   (4096, 131072) tile in HBM, never a (chunk, n_e) matrix); /tmp npz
-   cache.
+1. BUILD  — `data.latent_kg` at 11.39M entities (translational 'lattice'
+   geometry, density 4): objects come from the closed-form exact
+   nearest-neighbour assignment (O(total) host work). The exact argmax
+   sweep variant (`--kind translational`, blocked running-best scan, one
+   (4096, 131072) tile in HBM) stays available but is compute-bound to
+   ~1-2M entities on one chip: cost = queries * n_e * latent_dim * 2
+   FLOPs ~ 1.3e19 at this shape. /tmp npz cache.
 2. TRAIN  — `OutOfCoreTrainer(loss='sampled_ce')`: reciprocal +
    object-direction sampled softmax (k-entity resident pool) + row-sparse
    lazy Adam, entity table + optimizer slots in HOST RAM (P partitions,
@@ -39,11 +42,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--entities", type=int, default=10_000_000)
+    # defaults: 15^6 = 11,390,625 entities (the 'lattice' closed-form
+    # geometry needs a perfect power; the exact argmax sweep at this scale
+    # would be ~1.3e19 FLOPs = days on one chip), density 4 triples/entity
+    ap.add_argument("--entities", type=int, default=11_390_625)
     ap.add_argument("--relations", type=int, default=64)
-    ap.add_argument("--ntrain", type=int, default=40_000_000)
+    ap.add_argument("--ntrain", type=int, default=45_562_500)
     ap.add_argument("--nheld", type=int, default=5000)
-    ap.add_argument("--latent-dim", type=int, default=16)
+    ap.add_argument("--kind", default="lattice",
+                    help="latent_kg geometry; 'lattice' builds in O(total) "
+                    "host work, 'translational' runs the exact blocked "
+                    "device sweep (feasible to ~1-2M entities)")
+    ap.add_argument("--latent-dim", type=int, default=6)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--parts", type=int, default=8)
     ap.add_argument("--k", type=int, default=8192)
@@ -54,6 +64,7 @@ def main(argv=None) -> None:
     ap.add_argument("--eval-n", type=int, default=1000,
                     help="held-out queries to rank (streamed eval cost is "
                     "queries x n_entities x d)")
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--ckpt", default="/tmp/flagship_10m_ckpt")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
@@ -79,7 +90,7 @@ def main(argv=None) -> None:
     # ---- phase 1: build -------------------------------------------------
     cache = os.path.join(
         "/tmp",
-        f"latent_kg_translational-e{args.entities}-r{args.relations}"
+        f"latent_kg_{args.kind}-e{args.entities}-r{args.relations}"
         f"-t{args.ntrain}-h{args.nheld}-l{args.latent_dim}-s0.npz",
     )
     t0 = time.perf_counter()
@@ -92,7 +103,7 @@ def main(argv=None) -> None:
         ds = latent_kg(
             n_entities=args.entities, n_relations=args.relations,
             n_train=args.ntrain, n_valid=args.nheld, n_test=args.nheld,
-            latent_dim=args.latent_dim, seed=0, kind="translational",
+            latent_dim=args.latent_dim, seed=0, kind=args.kind,
         )
         report["build_s"] = round(time.perf_counter() - t0, 1)
         np.savez(cache, train=ds.train, valid=ds.valid, test=ds.test)
@@ -103,7 +114,7 @@ def main(argv=None) -> None:
     aug = add_reciprocal_relations(ds)
     model = DistMult(aug.n_entities, aug.n_relations, args.dim)
     tr = OutOfCoreTrainer(
-        model, Adam(lr=1e-3), aug.train, n_parts=args.parts, k=args.k,
+        model, Adam(lr=args.lr), aug.train, n_parts=args.parts, k=args.k,
         nbatches=args.nbatches, seed=0, loss="sampled_ce",
         label_smoothing=0.1, ce_directions=("o",),
         host_buckets=args.entities > 2_000_000,

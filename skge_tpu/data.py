@@ -247,17 +247,37 @@ def latent_kg(
       theta_p; o = nearest entity to z_s rotated by e^{i theta_p}. RotatE /
       ComplEx / HolE geometry (rotation is an isometry, so the nearest-
       neighbour structure is exactly a RotatE score).
+    - ``kind='lattice'``: the 10^7+ build path. Entities are the points of
+      a b^latent_dim integer lattice (n_entities must equal b**latent_dim
+      for an integer base b, e.g. 15**6 = 11,390,625); relations are
+      continuous translations of up to ~3 lattice steps; o = the EXACT
+      Euclidean nearest lattice point to z_s + t_p, computed in closed
+      form (componentwise clamp+round — for an axis-aligned box lattice
+      this IS the L2 argmin, no sweep). Same translational geometry as
+      ``kind='translational'`` (exactly TransE-realizable), but the build
+      is O(total) host work instead of an O(total * n_entities *
+      latent_dim) device sweep — at 10^7 entities x 4 x 10^7 queries the
+      exact blocked sweep is ~1.3e19 FLOPs (days on one chip; measured
+      block timings in RESULTS.md), while the lattice build takes
+      seconds. Gaussian `noise` perturbs the query before rounding, so a
+      (s, p) pair can emit several distinct nearby objects.
 
     Optional Gaussian `noise` is added to the query before the
-    argmin/argmax. Deterministic per (seed, kind, backend).
+    argmin/argmax. Deterministic per (seed, kind, backend); the lattice
+    path is backend-independent (pure host arithmetic).
     """
     import jax
     import jax.numpy as jnp
 
-    if kind not in ("translational", "bilinear", "rotational"):
+    if kind not in ("translational", "bilinear", "rotational", "lattice"):
         raise ValueError(f"unknown latent kind {kind!r}")
     if kind == "rotational" and latent_dim % 2 != 0:
         raise ValueError("rotational geometry needs an even latent_dim")
+    if kind == "lattice":
+        return _lattice_kg(
+            n_entities, n_relations, n_train, n_valid, n_test,
+            latent_dim, noise, seed,
+        )
 
     rng = np.random.default_rng(seed)
     Z = rng.normal(size=(n_entities, latent_dim)).astype(np.float32)
@@ -407,6 +427,73 @@ def latent_kg(
         _, first = np.unique(keys, return_index=True)
         triples = triples[np.sort(first)]
     triples = triples[rng.permutation(triples.shape[0])][:total]
+    return Dataset(
+        train=triples[:n_train],
+        valid=triples[n_train : n_train + n_valid],
+        test=triples[n_train + n_valid :],
+        n_entities=n_entities,
+        n_relations=n_relations,
+    )
+
+
+def _lattice_kg(
+    n_entities: int,
+    n_relations: int,
+    n_train: int,
+    n_valid: int,
+    n_test: int,
+    latent_dim: int,
+    noise: float,
+    seed: int,
+) -> Dataset:
+    """Closed-form lattice geometry (see latent_kg kind='lattice').
+
+    Entity e <-> digits(e) in base b (little-endian), latent point
+    z_e = (digits(e) + 0.5) / b in [0, 1]^dl. The Euclidean-nearest
+    lattice point to any query q is componentwise clamp(round(q*b - 0.5))
+    — exact for an axis-aligned box lattice — so object assignment needs
+    no argmax sweep. Everything is vectorized host NumPy; a 5 x 10^7
+    -triple build takes seconds."""
+    b = int(round(n_entities ** (1.0 / latent_dim)))
+    if b ** latent_dim != n_entities:
+        raise ValueError(
+            f"kind='lattice' needs n_entities == b**latent_dim for integer "
+            f"b; {n_entities} is not a perfect {latent_dim}-th power "
+            f"(nearest: {b ** latent_dim} = {b}**{latent_dim})"
+        )
+    rng = np.random.default_rng(seed)
+    # translations of up to ~3 lattice steps, continuous (non-integer)
+    Rel = (rng.uniform(-3.0, 3.0, size=(n_relations, latent_dim)) / b
+           ).astype(np.float32)
+    total = n_train + n_valid + n_test
+    if noise == 0.0 and total > 0.9 * n_entities * n_relations:
+        raise ValueError(
+            f"total={total} exceeds 90% of the {n_entities * n_relations} "
+            "unique noise-free triples; lower the split sizes or set noise>0"
+        )
+    powers = b ** np.arange(latent_dim, dtype=np.int64)
+
+    def assign(s: np.ndarray, p: np.ndarray) -> np.ndarray:
+        digs = (s[:, None].astype(np.int64) // powers[None, :]) % b
+        q = (digs + 0.5) / b + Rel[p]
+        if noise > 0.0:
+            q = q + rng.normal(size=q.shape).astype(np.float32) * noise
+        od = np.clip(np.round(q * b - 0.5), 0, b - 1).astype(np.int64)
+        return (od @ powers).astype(np.int64)
+
+    triples = np.zeros((0, 3), np.int64)
+    while triples.shape[0] < total:
+        draw = min(total, max(4096, int((total - triples.shape[0]) * 1.1)))
+        s = rng.integers(0, n_entities, draw).astype(np.int64)
+        p = rng.integers(0, n_relations, draw).astype(np.int64)
+        o = assign(s, p)
+        cand = np.stack([s, o, p], axis=1)
+        triples = np.concatenate([triples, cand])
+        keys = encode_keys_np(triples, n_entities, n_relations)
+        _, first = np.unique(keys, return_index=True)
+        triples = triples[np.sort(first)]
+    triples = triples[rng.permutation(triples.shape[0])][:total]
+    triples = triples.astype(np.int32)
     return Dataset(
         train=triples[:n_train],
         valid=triples[n_train : n_train + n_valid],

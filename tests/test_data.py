@@ -97,6 +97,39 @@ def test_latent_kg_capacity_guard():
         latent_kg(n_entities=10, n_relations=2, n_train=100)
 
 
+def test_lattice_kg_closed_form_is_exact_nearest_neighbour():
+    """kind='lattice' (the 10^7+ build path): the clamp+round closed form
+    must equal the brute-force Euclidean argmin over ALL entity latent
+    points — the same realizability contract the swept geometries have,
+    without the sweep. Verified on a 4^3 = 64-entity lattice."""
+    b, dl = 4, 3
+    n_e = b ** dl
+    ds = latent_kg(n_e, 5, n_train=250, latent_dim=dl, seed=3,
+                   kind="lattice")
+    assert ds.train.shape == (250, 3)
+    # rebuild the generator's latents + translations from the same seed
+    rng = np.random.default_rng(3)
+    Rel = (rng.uniform(-3.0, 3.0, size=(5, dl)) / b).astype(np.float32)
+    powers = b ** np.arange(dl, dtype=np.int64)
+    ids = np.arange(n_e, dtype=np.int64)
+    Z = (((ids[:, None] // powers[None, :]) % b) + 0.5) / b  # (n_e, dl)
+    s, o, p = ds.train[:, 0], ds.train[:, 1], ds.train[:, 2]
+    q = Z[s] + Rel[p]
+    brute = np.argmin(
+        np.sum((q[:, None, :] - Z[None, :, :]) ** 2, axis=2), axis=1
+    )
+    np.testing.assert_array_equal(o, brute)
+    # determinism
+    ds2 = latent_kg(n_e, 5, n_train=250, latent_dim=dl, seed=3,
+                    kind="lattice")
+    np.testing.assert_array_equal(ds.train, ds2.train)
+
+
+def test_lattice_kg_rejects_non_power_entity_count():
+    with pytest.raises(ValueError, match="perfect"):
+        latent_kg(65, 5, n_train=10, latent_dim=3, kind="lattice")
+
+
 def test_experiment_cli_reciprocal_ce(tmp_path):
     """--ce --reciprocal: dataset augmented (doubled relations), CE trains
     object-direction-only, and BOTH eval sites rank heads through the
