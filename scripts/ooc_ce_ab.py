@@ -100,7 +100,11 @@ def main(argv=None) -> None:
                 # format, but the full table is small at this shape)
                 best = (vm, e, {kk: v.copy()
                                 for kk, v in tr.e_host.items()})
-                best_dev = dict(tr.dev_params)
+                # dev_params buffers are DONATED by the jitted update —
+                # a dict copy holds deleted arrays after the next fit();
+                # snapshot to host memory instead
+                best_dev = {kk: np.asarray(v).copy()
+                            for kk, v in tr.dev_params.items()}
                 bad = 0
             else:
                 bad += 1
@@ -112,7 +116,9 @@ def main(argv=None) -> None:
             tr._lru.clear()
             for kk, v in best[2].items():
                 tr.e_host[kk][:] = v
-            tr.dev_params = best_dev
+            import jax.numpy as jnp
+            tr.dev_params = {kk: jnp.asarray(v)
+                             for kk, v in best_dev.items()}
         r = tr.evaluate(ds.test, all_triples, batch_size=1024,
                         reciprocal=True)
         row = {
