@@ -17,6 +17,7 @@ from skge_tpu.parallel.sharded import (
 )
 from skge_tpu.parallel.shardmap_step import (
     make_shardmap_pairwise_step,
+    make_shardmap_pointwise_step,
     make_shardmap_sampled_ce_step,
     make_shardmap_selfadv_step,
     shard_state_shardmap,
@@ -61,6 +62,7 @@ __all__ = [
     "make_sharded_pointwise_step",
     "make_sharded_score_all_o",
     "make_shardmap_pairwise_step",
+    "make_shardmap_pointwise_step",
     "make_shardmap_sampled_ce_step",
     "make_shardmap_selfadv_step",
     "shard_state_shardmap",

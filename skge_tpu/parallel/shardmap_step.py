@@ -412,6 +412,139 @@ def make_shardmap_selfadv_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_shardmap_pointwise_step(
+    model: KGEModel,
+    opt: Optimizer,
+    sampler: Callable,
+    mesh: Mesh,
+    shard_relations: bool = False,
+):
+    """Explicit-SPMD POINTWISE (logistic) step over the shared pool —
+    the reference's non-pairwise trainer semantic (reference skge/base.py
+    ~`PairwiseStochasticTrainer` sibling) on the ('data', 'model') mesh.
+    Closes the one trainer-loss without an explicit-SPMD counterpart
+    (GSPMD `make_sharded_pointwise_step` remains the iid-sampler route).
+
+    Collective structure is `make_shardmap_selfadv_step`'s: masked-local
+    row gather + psum('model'), owned-rows scatter + psum('data'); the
+    dense-param gradient means are recombined with element-count weights
+    (pointwise normalizes by #scored elements = sum(mask)*(1+K*|modes|)).
+    Trajectory parity with single-device `pointwise_grads_shared` under
+    the same update is pinned in tests/test_shardmap.py.
+    """
+    if not hasattr(sampler, "pool"):
+        raise ValueError(
+            "make_shardmap_pointwise_step needs a shared-pool sampler "
+            "(SharedNegativeSampler); iid samplers route to the GSPMD "
+            "make_sharded_pointwise_step"
+        )
+    from skge_tpu.training import pointwise_grads_shared
+
+    m_size = mesh.shape[MODEL_AXIS]
+    tables = _sharded_row_tables(model, m_size, shard_relations)
+    local_rows = {k: rows // m_size for k, rows in tables.items()}
+    specs = _param_specs(model, shard_relations)
+    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
+    state_spec = TrainState(
+        params={k: specs[k] for k in specs},
+        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
+        key=P(),
+        step=P(),
+    )
+    metrics_spec = StepMetrics(loss=P(), nviolations=P())
+    modes = tuple(sampler.modes)
+    k_pool = int(sampler.k)
+
+    def local_step(state: TrainState, batch, mask, pool_idx):
+        params = state.params
+        shard_idx = jax.lax.axis_index(MODEL_AXIS)
+        offs = {k: shard_idx * r for k, r in local_rows.items()}
+
+        def gather(pname, idx, role=None):
+            if pname not in local_rows:
+                return params[pname][idx]
+            srows = local_rows[pname]
+            local = idx - offs[pname]
+            own = jnp.logical_and(local >= 0, local < srows)
+            rows = params[pname][jnp.clip(local, 0, srows - 1)]
+            rows = jnp.where(
+                own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
+            )
+            return jax.lax.psum(rows, MODEL_AXIS)
+
+        key = state.key  # advanced by the global-sampling wrapper
+        loss, occ, g_dense = pointwise_grads_shared(
+            model, params, batch, pool_idx, mask,
+            modes=modes, gather=gather,
+        )
+        loss = jax.lax.psum(loss, DATA_AXIS)
+
+        new_params = dict(params)
+        new_opt = dict(state.opt_state)
+        reg = model.regularization
+        reg3 = model.regularization_n3
+        for pname, (idx, grads, counts) in occ.items():
+            if pname in local_rows:
+                srows = local_rows[pname]
+                local = idx - offs[pname]
+                local = jnp.where(
+                    jnp.logical_and(local >= 0, local < srows),
+                    local, srows,
+                )
+                table = _scatter_sums(local, grads, counts, srows)
+            else:
+                table = _scatter_sums(idx, grads, counts, model.num_rows(pname))
+            table = jax.lax.psum(table, DATA_AXIS)
+            count = table[:, -1]
+            feat = grads.shape[1:]
+            gsum = table[:, :-1].reshape((table.shape[0],) + feat)
+            gavg = gsum / jnp.maximum(count, 1.0).reshape(
+                (-1,) + (1,) * len(feat)
+            )
+            if reg != 0.0 and pname in model.reg_row_params:
+                gavg = gavg + reg * model.reg_grad_rows(pname, new_params[pname])
+            if reg3 != 0.0 and pname in model.reg_row_params:
+                gavg = gavg + (3.0 * reg3) * model.n3_grad_rows(
+                    pname, new_params[pname]
+                )
+            dg = DenseGrads(grads=gavg, count=count)
+            new_params[pname], new_opt[pname] = opt.apply_dense_masked(
+                new_params[pname], new_opt[pname], dg,
+                model.post_constraints.get(pname), step=state.step,
+            )
+        # dense params: same raw-count global renormalization as selfadv
+        # (clamp once AFTER the psum so fully-masked padding shards don't
+        # inflate the denominator)
+        n_raw = jnp.sum(mask) * (1.0 + k_pool * len(modes))
+        n_local = jnp.maximum(n_raw, 1.0)
+        n_global = jnp.maximum(jax.lax.psum(n_raw, DATA_AXIS), 1.0)
+        for pname, g in g_dense.items():
+            g_global = jax.lax.psum(g * n_local, DATA_AXIS) / n_global
+            new_params[pname], new_opt[pname] = opt.apply_full(
+                new_params[pname], new_opt[pname], g_global,
+                step=state.step,
+            )
+        new_state = TrainState(new_params, new_opt, key, state.step + 1)
+        return new_state, StepMetrics(
+            loss=loss, nviolations=jnp.zeros((), loss.dtype)
+        )
+
+    def step(state: TrainState, batch, mask):
+        key, sk = jax.random.split(state.key)
+        state = state._replace(key=key)
+        pool_idx = sampler.pool(sk, batch, mask)
+        smapped = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(state_spec, P(DATA_AXIS, None), P(DATA_AXIS), P()),
+            out_specs=(state_spec, metrics_spec),
+            check_vma=False,
+        )
+        return smapped(state, batch, mask, pool_idx)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_shardmap_sampled_ce_step(
     model: KGEModel,
     opt: Optimizer,

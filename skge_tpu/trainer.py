@@ -208,6 +208,18 @@ class Trainer:
                 self.model, self.opt, self.sampler, cfg.margin, self.mesh,
                 shard_relations=cfg.shard_relations,
             )
+        elif hasattr(self.sampler, "pool"):
+            # shared-pool pointwise: explicit-SPMD (same collective
+            # structure as selfadv); iid samplers below keep the GSPMD
+            # route (the generic expansion has no gather hook)
+            from skge_tpu.parallel.shardmap_step import (
+                make_shardmap_pointwise_step,
+            )
+
+            step = make_shardmap_pointwise_step(
+                self.model, self.opt, self.sampler, self.mesh,
+                shard_relations=cfg.shard_relations,
+            )
         else:
             step = make_sharded_pointwise_step(
                 self.model, self.opt, self.sampler, self.mesh
@@ -231,7 +243,8 @@ class Trainer:
             )
         if self.mesh is not None:
             cfg = self.config
-            if cfg.loss in ("ce", "selfadv", "sampled_ce") or cfg.pairwise:
+            if (cfg.loss in ("ce", "selfadv", "sampled_ce") or cfg.pairwise
+                    or hasattr(self.sampler, "pool")):
                 from skge_tpu.parallel.shardmap_step import shard_state_shardmap
 
                 state = shard_state_shardmap(

@@ -325,6 +325,71 @@ def test_shardmap_selfadv_matches_single_device(mesh_shape):
 
 
 @pytest.mark.parametrize("mesh_shape", [(1, 1), (4, 2), (2, 4)])
+def test_shardmap_pointwise_matches_single_device(mesh_shape):
+    """The explicit-SPMD shared-pool POINTWISE step reproduces the
+    single-device make_pointwise_step trajectory exactly (fp64), incl.
+    the element-count recombination of dense-param gradient means
+    (ER-MLP's W/C) and a fully-masked data shard."""
+    from skge_tpu.parallel.shardmap_step import make_shardmap_pointwise_step
+    from skge_tpu.training import make_pointwise_step
+
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs 8 virtual devices")
+    batch = make_batch(23)
+    mask = jnp.asarray(
+        (np.arange(B) < 3 * B // 4).astype(np.float64)
+    )
+    rng = np.random.default_rng(31)
+    pool = jnp.asarray(rng.integers(0, N_E, 9), jnp.int32)
+
+    class Pool:
+        modes = (0, 1)
+        k = 9
+
+        def pool(self, key, pos, m):
+            return pool
+
+    for case in ("transe", "ermlp"):
+        model = make_model(case)
+        opt = AdaGrad(lr=0.1)
+        ref_step = make_pointwise_step(model, opt, Pool(), aggregate="dense")
+        ref = init_state(model, opt, jax.random.PRNGKey(4))
+        for _ in range(3):
+            ref, rm = jax.jit(ref_step)(ref, batch, mask)
+
+        mesh = make_mesh(jax.devices()[:n_dev], shape=mesh_shape)
+        step = make_shardmap_pointwise_step(model, opt, Pool(), mesh=mesh)
+        state = shard_state_shardmap(
+            init_state(model, opt, jax.random.PRNGKey(4)), model, mesh
+        )
+        for _ in range(3):
+            state, m = step(state, batch, mask)
+        np.testing.assert_allclose(
+            float(m.loss), float(rm.loss), rtol=1e-12,
+            err_msg=f"{case}/{mesh_shape} loss",
+        )
+        for pname in ref.params:
+            np.testing.assert_allclose(
+                np.asarray(state.params[pname]),
+                np.asarray(ref.params[pname]),
+                rtol=1e-10, atol=1e-13,
+                err_msg=f"{case}/{mesh_shape}/{pname}",
+            )
+
+
+def test_shardmap_pointwise_rejects_iid_sampler():
+    from skge_tpu.parallel.shardmap_step import make_shardmap_pointwise_step
+
+    model = make_model("transe")
+    mesh = make_mesh(jax.devices()[:2], shape=(2, 1))
+    with pytest.raises(ValueError, match="shared-pool"):
+        make_shardmap_pointwise_step(
+            model, AdaGrad(), FixedCorruptions([]), mesh
+        )
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (4, 2), (2, 4)])
 def test_shardmap_sampled_ce_matches_single_device(mesh_shape):
     """The explicit-SPMD sampled-softmax-CE step reproduces the
     single-device make_sampled_ce_step trajectory exactly (fp64): sum

@@ -83,6 +83,25 @@ def test_mesh_trainer_pointwise_matches_single_device():
         )
 
 
+def test_mesh_trainer_pointwise_pool_matches_single_device():
+    """Shared-pool pointwise routes to the explicit-SPMD
+    make_shardmap_pointwise_step and reproduces the single-device
+    trajectory exactly."""
+    ds = synthetic_kg(48, 4, n_train=320, seed=7)
+    model = TransE(ds.n_entities, ds.n_relations, ncomp=12, dtype="float64")
+    sampler = SharedNegativeSampler(ds.n_entities, k=16)
+    single, _ = _fit(ds, model, sampler, None, nbatches=4, pairwise=False)
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    sharded, _ = _fit(ds, model, sampler, mesh, nbatches=4, pairwise=False)
+    for k in single.params:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(sharded.params[k])),
+            np.asarray(single.params[k]),
+            rtol=1e-12, atol=1e-13,
+            err_msg=f"{k}: pool pointwise mesh trajectory diverged",
+        )
+
+
 def test_trainer_mesh_shard_relations_matches_default():
     """TrainConfig(shard_relations=True) on a RESCAL mesh run reproduces the
     replicated-relation trajectory exactly (and actually shards W)."""
