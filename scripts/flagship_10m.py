@@ -65,6 +65,11 @@ def main(argv=None) -> None:
                     help="held-out queries to rank (streamed eval cost is "
                     "queries x n_entities x d)")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--model", default="transe-l2",
+                    choices=["transe-l2", "distmult"],
+                    help="TransE-L2 is the measured sampled-CE leader on "
+                    "translational KGs (RESULTS.md: 0.2477 vs DistMult "
+                    "0.1768 at the WN18 shape)")
     ap.add_argument("--ckpt", default="/tmp/flagship_10m_ckpt")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
@@ -78,7 +83,7 @@ def main(argv=None) -> None:
 
     from skge_tpu import Adam
     from skge_tpu.data import Dataset, add_reciprocal_relations, latent_kg
-    from skge_tpu.models import DistMult
+    from skge_tpu.models import DistMult, TransE
     from skge_tpu.outofcore import OutOfCoreTrainer
 
     report = {"config": {
@@ -112,7 +117,11 @@ def main(argv=None) -> None:
     # ---- phase 2: trainer init (partition + relabel + host tables) ------
     t0 = time.perf_counter()
     aug = add_reciprocal_relations(ds)
-    model = DistMult(aug.n_entities, aug.n_relations, args.dim)
+    if args.model == "transe-l2":
+        model = TransE(aug.n_entities, aug.n_relations, args.dim, l1=False)
+    else:
+        model = DistMult(aug.n_entities, aug.n_relations, args.dim)
+    report["config"]["model"] = args.model
     tr = OutOfCoreTrainer(
         model, Adam(lr=args.lr), aug.train, n_parts=args.parts, k=args.k,
         nbatches=args.nbatches, seed=0, loss="sampled_ce",
