@@ -796,26 +796,34 @@ class OutOfCoreTrainer:
             got = sc[jnp.arange(sc.shape[0]), jnp.clip(loc, 0, sc.shape[1] - 1)]
             return jnp.where(inp, got, 0)
 
-        results = {}
+        # candidate-part uploads dominate streamed-eval cost (they ride
+        # the axon tunnel; a part is s_rows*d floats) — so BOTH passes run
+        # part-major with each partition uploaded ONCE per pass for BOTH
+        # directions: 2*P uploads per evaluate() instead of the
+        # direction-major 2*P*(nb+1). Same arithmetic, same order of adds
+        # per (batch, part) accumulator — rank integers are unchanged.
+        dir_specs = {}
         for direction, mode in (("o", 1), ("s", 0)):
-            qb = eff[direction]
             if reciprocal and direction == "s":
                 mode = 1  # inverse-rewritten head queries are object queries
-            tcol = 1 if mode == 1 else 0
-            tgts = []
-            for b in range(nb):
-                tids = jnp.asarray(qb[b, :, tcol])
-                t = jnp.zeros((bs,), jnp.asarray(e_tab[:1]).dtype)
-                for p in range(self.n_parts):
-                    cand = jnp.asarray(
-                        e_tab[p * s_rows: (p + 1) * s_rows]
-                    )
-                    t = t + target_from_part(
+            dir_specs[direction] = (eff[direction], mode, 1 if mode == 1 else 0)
+
+        # pass 1: target scores from the streamed part matrices
+        tdtype = jnp.asarray(e_tab[:1]).dtype
+        tgts = {d: [jnp.zeros((bs,), tdtype) for _ in range(nb)]
+                for d in dir_specs}
+        for p in range(self.n_parts):
+            cand = jnp.asarray(e_tab[p * s_rows: (p + 1) * s_rows])
+            for direction, (qb, mode, tcol) in dir_specs.items():
+                for b in range(nb):
+                    tids = jnp.asarray(qb[b, :, tcol])
+                    tgts[direction][b] = tgts[direction][b] + target_from_part(
                         rows_of(b, qb), cand, tids, mode=mode, p=p
                     )
-                tgts.append(t)
-            # per (batch, part) filter pairs, pow2-padded (row=bs pads)
-            fpairs = []
+
+        # per (direction, batch, part) filter pairs, pow2-padded (row=bs pads)
+        fpairs = {d: [] for d in dir_specs}
+        for direction, (qb, mode, tcol) in dir_specs.items():
             for b in range(nb):
                 per_part: Dict[int, list] = {}
                 for i, (s_, o_, p_) in enumerate(qb[b]):
@@ -835,16 +843,18 @@ class OutOfCoreTrainer:
                         per_part.setdefault(ent // s_rows, []).append(
                             (i, ent % s_rows)
                         )
-                fpairs.append(per_part)
-            zeros = jnp.zeros((bs,), jnp.int32)
-            acc = {
-                b: [zeros, zeros, zeros, zeros] for b in range(nb)
-            }
-            for p in range(self.n_parts):
-                cand = jnp.asarray(e_tab[p * s_rows: (p + 1) * s_rows])
-                n_valid = int(self.part_counts[p])
+                fpairs[direction].append(per_part)
+
+        # pass 2: greater/equal counts vs the assembled targets
+        zeros = jnp.zeros((bs,), jnp.int32)
+        acc = {d: {b: [zeros, zeros, zeros, zeros] for b in range(nb)}
+               for d in dir_specs}
+        for p in range(self.n_parts):
+            cand = jnp.asarray(e_tab[p * s_rows: (p + 1) * s_rows])
+            n_valid = int(self.part_counts[p])
+            for direction, (qb, mode, tcol) in dir_specs.items():
                 for b in range(nb):
-                    pl = fpairs[b].get(p, [])
+                    pl = fpairs[direction][b].get(p, [])
                     width = 1 if len(pl) <= 1 else 1 << (
                         len(pl) - 1
                     ).bit_length()
@@ -855,15 +865,23 @@ class OutOfCoreTrainer:
                         frow[: len(pl)] = arr[:, 0]
                         floc[: len(pl)] = arr[:, 1]
                     g, e, fg, fe = part_counts(
-                        rows_of(b, qb), cand, tgts[b], n_valid, mode=mode,
+                        rows_of(b, qb), cand, tgts[direction][b], n_valid,
+                        mode=mode,
                         frow=jnp.asarray(frow), floc=jnp.asarray(floc),
                     )
-                    a = acc[b]
-                    acc[b] = [a[0] + g, a[1] + e, a[2] + fg, a[3] + fe]
+                    a = acc[direction][b]
+                    acc[direction][b] = [
+                        a[0] + g, a[1] + e, a[2] + fg, a[3] + fe
+                    ]
+
+        results = {}
+        for direction in dir_specs:
             ranks = np.zeros((n,), np.float64)
             ranks_raw = np.zeros((n,), np.float64)
             for b in range(nb):
-                g, e, fg, fe = (np.asarray(x, np.int64) for x in acc[b])
+                g, e, fg, fe = (
+                    np.asarray(x, np.int64) for x in acc[direction][b]
+                )
                 if ties == "optimistic":
                     raw = 1.0 + g
                     filt = 1.0 + (g - fg)
