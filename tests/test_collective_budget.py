@@ -106,6 +106,11 @@ CASES = [
     ("shardmap_pairwise", None, 2_870_000),     # measured 2,604,288
     ("shardmap_ce", None, 3_500_000),           # measured 3,178,496
     ("partitioned_pairwise", None, 339_000),    # measured 307,712
+    # the three pool losses share pairwise's collective structure — their
+    # budgets pin that identity (measured 2,604,288 / 2,604,288 / 2,604,292)
+    ("shardmap_selfadv", None, 2_870_000),
+    ("shardmap_pointwise", None, 2_870_000),
+    ("shardmap_sampled_ce", None, 2_870_000),
 ]
 
 
@@ -120,6 +125,34 @@ def _text_for(name):
         return _compiled_text_2d(
             lambda m, o, mesh: make_shardmap_ce_step(m, o, mesh),
             shard_state_shardmap)
+    if name == "shardmap_selfadv":
+        from skge_tpu.parallel.shardmap_step import make_shardmap_selfadv_step
+
+        def build(model, opt, mesh):
+            sampler = SharedNegativeSampler(N_E, k=K)
+            return make_shardmap_selfadv_step(model, opt, sampler, 1.0, mesh)
+        return _compiled_text_2d(build, shard_state_shardmap)
+    if name == "shardmap_pointwise":
+        from skge_tpu.parallel.shardmap_step import (
+            make_shardmap_pointwise_step,
+        )
+
+        def build(model, opt, mesh):
+            sampler = SharedNegativeSampler(N_E, k=K)
+            return make_shardmap_pointwise_step(model, opt, sampler, mesh)
+        return _compiled_text_2d(build, shard_state_shardmap)
+    if name == "shardmap_sampled_ce":
+        from skge_tpu.parallel.shardmap_step import (
+            make_shardmap_sampled_ce_step,
+        )
+
+        def build(model, opt, mesh):
+            sampler = SharedNegativeSampler(N_E, k=K)
+            return make_shardmap_sampled_ce_step(
+                model, opt, sampler, mesh,
+                directions=("o",), label_smoothing=0.1,
+            )
+        return _compiled_text_2d(build, shard_state_shardmap)
     return _compiled_text_partitioned()
 
 
