@@ -56,6 +56,9 @@ def main(argv=None) -> None:
     ap.add_argument("--latent-dim", type=int, default=6)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--parts", type=int, default=8)
+    ap.add_argument("--cache-parts", type=int, default=3,
+                    help=">2 gives prefetch a free slot (2.2x measured on "
+                    "the upload-bound shapes, RESULTS.md)")
     ap.add_argument("--k", type=int, default=8192)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--nbatches", type=int, default=400,
@@ -127,6 +130,7 @@ def main(argv=None) -> None:
         nbatches=args.nbatches, seed=0, loss="sampled_ce",
         label_smoothing=0.1, ce_directions=("o",),
         host_buckets=args.entities > 2_000_000,
+        cache_parts=min(args.cache_parts, args.parts),
     )
     host_bytes = sum(v.nbytes for v in tr.e_host.values())
     report["init_s"] = round(time.perf_counter() - t0, 1)
