@@ -211,7 +211,7 @@ def run(args) -> dict:
         mkw["l1"] = False
     if args.factored:
         if args.model != "transr":
-            ap.error("--factored is a TransR option")
+            raise SystemExit("--factored is a TransR option")
         mkw["factored"] = True
     model = MODELS[args.model](ds.n_entities, n_rel, args.ncomp, **mkw)
     opt = AdaGrad(lr=0.1)

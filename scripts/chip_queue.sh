@@ -31,7 +31,9 @@ grep -v '^\s*#' "$JOBFILE" | grep -v '^\s*$' | while IFS= read -r cmd; do
   n=$((n+1))
   log="/tmp/chipq_${n}.log"
   wait_healthy
-  echo "{\"ts\": $(date +%s), \"job\": $n, \"event\": \"start\", \"cmd\": \"$(echo "$cmd" | sed 's/"/\\"/g')\", \"log\": \"$log\"}" >> "$STATUS"
+  # JSON-escape via python (quotes, backslashes, control chars)
+  cmd_json=$(printf '%s' "$cmd" | python -c 'import json,sys; print(json.dumps(sys.stdin.read()))')
+  echo "{\"ts\": $(date +%s), \"job\": $n, \"event\": \"start\", \"cmd\": $cmd_json, \"log\": \"$log\"}" >> "$STATUS"
   bash -c "$cmd" > "$log" 2>&1
   rc=$?
   echo "{\"ts\": $(date +%s), \"job\": $n, \"event\": \"done\", \"rc\": $rc}" >> "$STATUS"

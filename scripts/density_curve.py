@@ -61,8 +61,13 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     densities = [float(d) for d in args.densities.split(",")]
+    geometries = args.geometries.split(",")
+    for kg in geometries:
+        if kg not in GEOMETRIES:
+            ap.error(f"unknown geometry {kg!r}; choices: "
+                     f"{', '.join(sorted(GEOMETRIES))}")
     rows = []
-    for kg in args.geometries.split(","):
+    for kg in geometries:
         latent, matched, contrast = GEOMETRIES[kg]
         for dens in densities:
             ntrain = int(round(dens * args.entities))
@@ -105,7 +110,7 @@ def main(argv=None) -> None:
                         f.write(json.dumps(r) + "\n")
 
     # markdown summary: one table per geometry, densities as rows
-    for kg in args.geometries.split(","):
+    for kg in geometries:
         latent, matched, contrast = GEOMETRIES[kg]
         print(f"\n**{kg}** (latent {latent}, d={args.dim}, CE protocol):\n")
         print(f"| triples/entity | {matched} MRR (best@) | "

@@ -18,6 +18,7 @@ All triples are (N, 3) int32 arrays in (s, o, p) column order.
 
 from __future__ import annotations
 
+import logging
 import pickle
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -418,8 +419,11 @@ def latent_kg(
             )
             hi = min(lo + chunk, draw)
             if big and (lo // chunk) % 512 == 0:
-                print(f"latent_kg sweep: {lo}/{draw} queries assigned",
-                      flush=True)
+                # logging, not print: callers speak one-JSON-line-per-row
+                # protocols on stdout (quality_suite -> density_curve)
+                logging.getLogger(__name__).info(
+                    "latent_kg sweep: %d/%d queries assigned", lo, draw
+                )
             o[lo:hi] = oc[: hi - lo]
         cand = np.stack([s, o, p], axis=1)
         triples = np.concatenate([triples, cand])

@@ -94,6 +94,94 @@ def _sharded_row_tables(
     return tables
 
 
+def _pool_state_specs(model: KGEModel, opt: Optimizer, m_size: int,
+                      shard_relations: bool):
+    """Shared scaffolding of every shard_map step builder: row-sharded
+    table sizes, per-shard row counts, PartitionSpecs and the TrainState /
+    StepMetrics spec trees (optimizer slot names from a dummy init)."""
+    tables = _sharded_row_tables(model, m_size, shard_relations)
+    local_rows = {k: rows // m_size for k, rows in tables.items()}
+    specs = _param_specs(model, shard_relations)
+    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
+    state_spec = TrainState(
+        params={k: specs[k] for k in specs},
+        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
+        key=P(),
+        step=P(),
+    )
+    metrics_spec = StepMetrics(loss=P(), nviolations=P())
+    return local_rows, state_spec, metrics_spec
+
+
+def _make_gather(params, local_rows, offs):
+    """Masked-local row gather: each shard contributes its owned rows
+    (others zeroed), one psum('model') assembles full rows — O(B*d)
+    traffic with identical indices across the model group."""
+
+    def gather(pname, idx, role=None):
+        if pname not in local_rows:
+            return params[pname][idx]
+        srows = local_rows[pname]
+        local = idx - offs[pname]
+        own = jnp.logical_and(local >= 0, local < srows)
+        rows = params[pname][jnp.clip(local, 0, srows - 1)]
+        rows = jnp.where(
+            own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
+        )
+        return jax.lax.psum(rows, MODEL_AXIS)
+
+    return gather
+
+
+def _apply_row_occurrences(model, opt, state, new_params, new_opt, occ,
+                           local_rows, offs, combine="mean", scale=None):
+    """Owned-rows scatter + psum('data') reduction + optimizer apply for
+    every row-table occurrence list — the loop every shard_map step
+    shares. `combine='mean'` divides the reduced sums by the duplicate
+    counts (margin/selfadv/pointwise semantics); `'sum'` keeps sums
+    (sampled-CE; counts only gate which rows update). `scale` multiplies
+    grads before the scatter (sampled-CE's local->global mean rescale).
+    """
+    reg = model.regularization
+    reg3 = model.regularization_n3
+    for pname, (idx, grads, counts) in occ.items():
+        if scale is not None:
+            grads = grads * scale
+        if pname in local_rows:
+            srows = local_rows[pname]
+            local = idx - offs[pname]
+            # JAX .at[] wraps NEGATIVE indices NumPy-style BEFORE the
+            # drop-mode bounds check — route non-owned rows to an
+            # always-out-of-range positive index instead
+            local = jnp.where(
+                jnp.logical_and(local >= 0, local < srows),
+                local, srows,
+            )
+            table = _scatter_sums(local, grads, counts, srows)
+        else:
+            table = _scatter_sums(idx, grads, counts, model.num_rows(pname))
+        table = jax.lax.psum(table, DATA_AXIS)
+        count = table[:, -1]
+        feat = grads.shape[1:]
+        g = table[:, :-1].reshape((table.shape[0],) + feat)
+        if combine == "mean":
+            g = g / jnp.maximum(count, 1.0).reshape(
+                (-1,) + (1,) * len(feat)
+            )
+        if reg != 0.0 and pname in model.reg_row_params:
+            g = g + reg * model.reg_grad_rows(pname, new_params[pname])
+        if reg3 != 0.0 and pname in model.reg_row_params:
+            g = g + (3.0 * reg3) * model.n3_grad_rows(
+                pname, new_params[pname]
+            )
+        dg = DenseGrads(grads=g, count=count)
+        new_params[pname], new_opt[pname] = opt.apply_dense_masked(
+            new_params[pname], new_opt[pname], dg,
+            model.post_constraints.get(pname), step=state.step,
+        )
+    return new_params, new_opt
+
+
 def _scatter_sums(idx, grads, counts, rows):
     """Raw (un-averaged) masked scatter: grads+counts into `rows` slots.
 
@@ -143,37 +231,16 @@ def make_shardmap_pairwise_step(
     shard_relations).
     """
     m_size = mesh.shape[MODEL_AXIS]
-    tables = _sharded_row_tables(model, m_size, shard_relations)
-    local_rows = {k: rows // m_size for k, rows in tables.items()}
-    specs = _param_specs(model, shard_relations)
-    shared = hasattr(sampler, "pool")
-
-    # optimizer slot names (e.g. AdaGrad's 'p2', SGD's none) from a dummy init
-    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
-    state_spec = TrainState(
-        params={k: specs[k] for k in specs},
-        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
-        key=P(),
-        step=P(),
+    local_rows, state_spec, metrics_spec = _pool_state_specs(
+        model, opt, m_size, shard_relations
     )
-    metrics_spec = StepMetrics(loss=P(), nviolations=P())
+    shared = hasattr(sampler, "pool")
 
     def local_step(modes, state: TrainState, batch, mask, draws):
         params = state.params
         shard_idx = jax.lax.axis_index(MODEL_AXIS)
         offs = {k: shard_idx * r for k, r in local_rows.items()}
-
-        def gather(pname, idx, role=None):
-            if pname not in local_rows:
-                return params[pname][idx]
-            srows = local_rows[pname]
-            local = idx - offs[pname]
-            own = jnp.logical_and(local >= 0, local < srows)
-            rows = params[pname][jnp.clip(local, 0, srows - 1)]
-            rows = jnp.where(
-                own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
-            )
-            return jax.lax.psum(rows, MODEL_AXIS)
+        gather = _make_gather(params, local_rows, offs)
 
         key = state.key  # already advanced by the global-sampling wrapper
         if shared:
@@ -193,42 +260,10 @@ def make_shardmap_pairwise_step(
         nviol_local = nviol
         nviol = jax.lax.psum(nviol, DATA_AXIS)
 
-        new_params = dict(params)
-        new_opt = dict(state.opt_state)
-        reg = model.regularization
-        reg3 = model.regularization_n3
-        for pname, (idx, grads, counts) in occ.items():
-            if pname in local_rows:
-                srows = local_rows[pname]
-                local = idx - offs[pname]
-                # JAX .at[] wraps NEGATIVE indices NumPy-style BEFORE the
-                # drop-mode bounds check — route non-owned rows to an
-                # always-out-of-range positive index instead
-                local = jnp.where(
-                    jnp.logical_and(local >= 0, local < srows),
-                    local, srows,
-                )
-                table = _scatter_sums(local, grads, counts, srows)
-            else:
-                table = _scatter_sums(idx, grads, counts, model.num_rows(pname))
-            table = jax.lax.psum(table, DATA_AXIS)
-            count = table[:, -1]
-            feat = grads.shape[1:]
-            gsum = table[:, :-1].reshape((table.shape[0],) + feat)
-            gavg = gsum / jnp.maximum(count, 1.0).reshape(
-                (-1,) + (1,) * len(feat)
-            )
-            if reg != 0.0 and pname in model.reg_row_params:
-                gavg = gavg + reg * model.reg_grad_rows(pname, new_params[pname])
-            if reg3 != 0.0 and pname in model.reg_row_params:
-                gavg = gavg + (3.0 * reg3) * model.n3_grad_rows(
-                    pname, new_params[pname]
-                )
-            dg = DenseGrads(grads=gavg, count=count)
-            new_params[pname], new_opt[pname] = opt.apply_dense_masked(
-                new_params[pname], new_opt[pname], dg,
-                model.post_constraints.get(pname), step=state.step,
-            )
+        new_params, new_opt = _apply_row_occurrences(
+            model, opt, state, dict(params), dict(state.opt_state),
+            occ, local_rows, offs,
+        )
         # dense (non-row) params: recover local gradient SUMS, reduce, then
         # divide by the GLOBAL violation count
         for pname, g in g_dense.items():
@@ -305,17 +340,9 @@ def make_shardmap_selfadv_step(
     from skge_tpu.training import selfadv_grads_shared
 
     m_size = mesh.shape[MODEL_AXIS]
-    tables = _sharded_row_tables(model, m_size, shard_relations)
-    local_rows = {k: rows // m_size for k, rows in tables.items()}
-    specs = _param_specs(model, shard_relations)
-    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
-    state_spec = TrainState(
-        params={k: specs[k] for k in specs},
-        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
-        key=P(),
-        step=P(),
+    local_rows, state_spec, metrics_spec = _pool_state_specs(
+        model, opt, m_size, shard_relations
     )
-    metrics_spec = StepMetrics(loss=P(), nviolations=P())
     modes = tuple(sampler.modes)
     k_pool = int(sampler.k)
 
@@ -323,18 +350,7 @@ def make_shardmap_selfadv_step(
         params = state.params
         shard_idx = jax.lax.axis_index(MODEL_AXIS)
         offs = {k: shard_idx * r for k, r in local_rows.items()}
-
-        def gather(pname, idx, role=None):
-            if pname not in local_rows:
-                return params[pname][idx]
-            srows = local_rows[pname]
-            local = idx - offs[pname]
-            own = jnp.logical_and(local >= 0, local < srows)
-            rows = params[pname][jnp.clip(local, 0, srows - 1)]
-            rows = jnp.where(
-                own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
-            )
-            return jax.lax.psum(rows, MODEL_AXIS)
+        gather = _make_gather(params, local_rows, offs)
 
         key = state.key  # advanced by the global-sampling wrapper
         loss, occ, g_dense = selfadv_grads_shared(
@@ -343,39 +359,10 @@ def make_shardmap_selfadv_step(
         )
         loss = jax.lax.psum(loss, DATA_AXIS)
 
-        new_params = dict(params)
-        new_opt = dict(state.opt_state)
-        reg = model.regularization
-        reg3 = model.regularization_n3
-        for pname, (idx, grads, counts) in occ.items():
-            if pname in local_rows:
-                srows = local_rows[pname]
-                local = idx - offs[pname]
-                local = jnp.where(
-                    jnp.logical_and(local >= 0, local < srows),
-                    local, srows,
-                )
-                table = _scatter_sums(local, grads, counts, srows)
-            else:
-                table = _scatter_sums(idx, grads, counts, model.num_rows(pname))
-            table = jax.lax.psum(table, DATA_AXIS)
-            count = table[:, -1]
-            feat = grads.shape[1:]
-            gsum = table[:, :-1].reshape((table.shape[0],) + feat)
-            gavg = gsum / jnp.maximum(count, 1.0).reshape(
-                (-1,) + (1,) * len(feat)
-            )
-            if reg != 0.0 and pname in model.reg_row_params:
-                gavg = gavg + reg * model.reg_grad_rows(pname, new_params[pname])
-            if reg3 != 0.0 and pname in model.reg_row_params:
-                gavg = gavg + (3.0 * reg3) * model.n3_grad_rows(
-                    pname, new_params[pname]
-                )
-            dg = DenseGrads(grads=gavg, count=count)
-            new_params[pname], new_opt[pname] = opt.apply_dense_masked(
-                new_params[pname], new_opt[pname], dg,
-                model.post_constraints.get(pname), step=state.step,
-            )
+        new_params, new_opt = _apply_row_occurrences(
+            model, opt, state, dict(params), dict(state.opt_state),
+            occ, local_rows, offs,
+        )
         # dense params: g_dense is the per-shard MEAN over that shard's
         # scored elements — recover sums (g * clamped local count; a
         # fully-masked shard has g == 0 so the clamp is harmless there),
@@ -441,17 +428,9 @@ def make_shardmap_pointwise_step(
     from skge_tpu.training import pointwise_grads_shared
 
     m_size = mesh.shape[MODEL_AXIS]
-    tables = _sharded_row_tables(model, m_size, shard_relations)
-    local_rows = {k: rows // m_size for k, rows in tables.items()}
-    specs = _param_specs(model, shard_relations)
-    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
-    state_spec = TrainState(
-        params={k: specs[k] for k in specs},
-        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
-        key=P(),
-        step=P(),
+    local_rows, state_spec, metrics_spec = _pool_state_specs(
+        model, opt, m_size, shard_relations
     )
-    metrics_spec = StepMetrics(loss=P(), nviolations=P())
     modes = tuple(sampler.modes)
     k_pool = int(sampler.k)
 
@@ -459,18 +438,7 @@ def make_shardmap_pointwise_step(
         params = state.params
         shard_idx = jax.lax.axis_index(MODEL_AXIS)
         offs = {k: shard_idx * r for k, r in local_rows.items()}
-
-        def gather(pname, idx, role=None):
-            if pname not in local_rows:
-                return params[pname][idx]
-            srows = local_rows[pname]
-            local = idx - offs[pname]
-            own = jnp.logical_and(local >= 0, local < srows)
-            rows = params[pname][jnp.clip(local, 0, srows - 1)]
-            rows = jnp.where(
-                own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
-            )
-            return jax.lax.psum(rows, MODEL_AXIS)
+        gather = _make_gather(params, local_rows, offs)
 
         key = state.key  # advanced by the global-sampling wrapper
         loss, occ, g_dense = pointwise_grads_shared(
@@ -479,39 +447,10 @@ def make_shardmap_pointwise_step(
         )
         loss = jax.lax.psum(loss, DATA_AXIS)
 
-        new_params = dict(params)
-        new_opt = dict(state.opt_state)
-        reg = model.regularization
-        reg3 = model.regularization_n3
-        for pname, (idx, grads, counts) in occ.items():
-            if pname in local_rows:
-                srows = local_rows[pname]
-                local = idx - offs[pname]
-                local = jnp.where(
-                    jnp.logical_and(local >= 0, local < srows),
-                    local, srows,
-                )
-                table = _scatter_sums(local, grads, counts, srows)
-            else:
-                table = _scatter_sums(idx, grads, counts, model.num_rows(pname))
-            table = jax.lax.psum(table, DATA_AXIS)
-            count = table[:, -1]
-            feat = grads.shape[1:]
-            gsum = table[:, :-1].reshape((table.shape[0],) + feat)
-            gavg = gsum / jnp.maximum(count, 1.0).reshape(
-                (-1,) + (1,) * len(feat)
-            )
-            if reg != 0.0 and pname in model.reg_row_params:
-                gavg = gavg + reg * model.reg_grad_rows(pname, new_params[pname])
-            if reg3 != 0.0 and pname in model.reg_row_params:
-                gavg = gavg + (3.0 * reg3) * model.n3_grad_rows(
-                    pname, new_params[pname]
-                )
-            dg = DenseGrads(grads=gavg, count=count)
-            new_params[pname], new_opt[pname] = opt.apply_dense_masked(
-                new_params[pname], new_opt[pname], dg,
-                model.post_constraints.get(pname), step=state.step,
-            )
+        new_params, new_opt = _apply_row_occurrences(
+            model, opt, state, dict(params), dict(state.opt_state),
+            occ, local_rows, offs,
+        )
         # dense params: same raw-count global renormalization as selfadv
         # (clamp once AFTER the psum so fully-masked padding shards don't
         # inflate the denominator)
@@ -586,17 +525,9 @@ def make_shardmap_sampled_ce_step(
     from skge_tpu.training import sampled_ce_grads_shared
 
     m_size = mesh.shape[MODEL_AXIS]
-    tables = _sharded_row_tables(model, m_size, shard_relations)
-    local_rows = {k: rows // m_size for k, rows in tables.items()}
-    specs = _param_specs(model, shard_relations)
-    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
-    state_spec = TrainState(
-        params={k: specs[k] for k in specs},
-        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
-        key=P(),
-        step=P(),
+    local_rows, state_spec, metrics_spec = _pool_state_specs(
+        model, opt, m_size, shard_relations
     )
-    metrics_spec = StepMetrics(loss=P(), nviolations=P())
     logits = getattr(sampler, "logits", None)
     log_q_table = None if logits is None else jax.nn.log_softmax(
         jnp.asarray(logits)
@@ -606,18 +537,7 @@ def make_shardmap_sampled_ce_step(
         params = state.params
         shard_idx = jax.lax.axis_index(MODEL_AXIS)
         offs = {k: shard_idx * r for k, r in local_rows.items()}
-
-        def gather(pname, idx, role=None):
-            if pname not in local_rows:
-                return params[pname][idx]
-            srows = local_rows[pname]
-            local = idx - offs[pname]
-            own = jnp.logical_and(local >= 0, local < srows)
-            rows = params[pname][jnp.clip(local, 0, srows - 1)]
-            rows = jnp.where(
-                own.reshape(own.shape + (1,) * (rows.ndim - 1)), rows, 0
-            )
-            return jax.lax.psum(rows, MODEL_AXIS)
+        gather = _make_gather(params, local_rows, offs)
 
         key = state.key  # advanced by the global-sampling wrapper
         loss, occ, g_dense = sampled_ce_grads_shared(
@@ -629,48 +549,19 @@ def make_shardmap_sampled_ce_step(
         # loss; rescale them (and the reported loss) to the global mean so
         # the psum('data') table reduction reproduces the single-device
         # trajectory exactly (clamp the global denominator ONCE — clamping
-        # per shard would let fully-masked padding shards inflate it)
+        # per shard would let fully-masked padding shards inflate it).
+        # combine='sum': no count averaging (the k=n_e == full-CE identity
+        # needs sums; counts only gate which rows update).
         dnorm_raw = jnp.sum(mask)
         dnorm_local = jnp.maximum(dnorm_raw, 1.0)
         dnorm_global = jnp.maximum(jax.lax.psum(dnorm_raw, DATA_AXIS), 1.0)
         scale = dnorm_local / dnorm_global
         loss = jax.lax.psum(loss * dnorm_raw / dnorm_global, DATA_AXIS)
 
-        new_params = dict(params)
-        new_opt = dict(state.opt_state)
-        reg = model.regularization
-        reg3 = model.regularization_n3
-        for pname, (idx, grads, counts) in occ.items():
-            grads = grads * scale
-            if pname in local_rows:
-                srows = local_rows[pname]
-                local = idx - offs[pname]
-                # route non-owned rows past the table (positive index) so
-                # drop-mode can't NumPy-wrap negatives back in bounds
-                local = jnp.where(
-                    jnp.logical_and(local >= 0, local < srows),
-                    local, srows,
-                )
-                table = _scatter_sums(local, grads, counts, srows)
-            else:
-                table = _scatter_sums(idx, grads, counts, model.num_rows(pname))
-            table = jax.lax.psum(table, DATA_AXIS)
-            count = table[:, -1]
-            feat = grads.shape[1:]
-            # SUM semantics over duplicate occurrences (no count averaging);
-            # counts only gate which rows update
-            gsum = table[:, :-1].reshape((table.shape[0],) + feat)
-            if reg != 0.0 and pname in model.reg_row_params:
-                gsum = gsum + reg * model.reg_grad_rows(pname, new_params[pname])
-            if reg3 != 0.0 and pname in model.reg_row_params:
-                gsum = gsum + (3.0 * reg3) * model.n3_grad_rows(
-                    pname, new_params[pname]
-                )
-            dg = DenseGrads(grads=gsum, count=count)
-            new_params[pname], new_opt[pname] = opt.apply_dense_masked(
-                new_params[pname], new_opt[pname], dg,
-                model.post_constraints.get(pname), step=state.step,
-            )
+        new_params, new_opt = _apply_row_occurrences(
+            model, opt, state, dict(params), dict(state.opt_state),
+            occ, local_rows, offs, combine="sum", scale=scale,
+        )
         # dense params: g_dense is the per-shard MEAN over its valid rows —
         # recover sums (g * clamped local count; a fully-masked shard has
         # g == 0 so the clamp is harmless), reduce, renormalize globally
@@ -749,15 +640,9 @@ def make_shardmap_ce_step(
             "entity count (embedding row count is free)"
         )
     shard_rows = n_e // m_size
-    specs = _param_specs(model)
-    slot_names = tuple(opt.init({"x": jnp.zeros(1)})["x"])
-    state_spec = TrainState(
-        params={k: specs[k] for k in specs},
-        opt_state={k: {sn: specs[k] for sn in slot_names} for k in specs},
-        key=P(),
-        step=P(),
+    _, state_spec, metrics_spec = _pool_state_specs(
+        model, opt, m_size, shard_relations=False
     )
-    metrics_spec = StepMetrics(loss=P(), nviolations=P())
     slot_spec = model.slot_spec()
     ls = float(label_smoothing)
 
