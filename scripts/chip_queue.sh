@@ -34,7 +34,7 @@ grep -v '^\s*#' "$JOBFILE" | grep -v '^\s*$' | while IFS= read -r cmd; do
   # JSON-escape via python (quotes, backslashes, control chars)
   cmd_json=$(printf '%s' "$cmd" | python -c 'import json,sys; print(json.dumps(sys.stdin.read()))')
   echo "{\"ts\": $(date +%s), \"job\": $n, \"event\": \"start\", \"cmd\": $cmd_json, \"log\": \"$log\"}" >> "$STATUS"
-  bash -c "$cmd" > "$log" 2>&1
+  bash -c "$cmd" < /dev/null > "$log" 2>&1
   rc=$?
   echo "{\"ts\": $(date +%s), \"job\": $n, \"event\": \"done\", \"rc\": $rc}" >> "$STATUS"
 done

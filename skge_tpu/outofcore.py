@@ -808,6 +808,14 @@ class OutOfCoreTrainer:
                 mode = 1  # inverse-rewritten head queries are object queries
             dir_specs[direction] = (eff[direction], mode, 1 if mode == 1 else 0)
 
+        # query rows depend only on (direction, batch) — gather/upload
+        # them ONCE and reuse across all P parts in both passes (the old
+        # per-(batch, part) rows_of re-upload was the remaining streamed
+        # host->device tax after the candidate uploads went part-major;
+        # NEXT.md round-4 item). Footprint: n_queries x slots x d floats.
+        qrows = {d: [rows_of(b, qb) for b in range(nb)]
+                 for d, (qb, _, _) in dir_specs.items()}
+
         # pass 1: target scores from the streamed part matrices
         tdtype = jnp.asarray(e_tab[:1]).dtype
         tgts = {d: [jnp.zeros((bs,), tdtype) for _ in range(nb)]
@@ -818,7 +826,7 @@ class OutOfCoreTrainer:
                 for b in range(nb):
                     tids = jnp.asarray(qb[b, :, tcol])
                     tgts[direction][b] = tgts[direction][b] + target_from_part(
-                        rows_of(b, qb), cand, tids, mode=mode, p=p
+                        qrows[direction][b], cand, tids, mode=mode, p=p
                     )
 
         # per (direction, batch, part) filter pairs, pow2-padded (row=bs pads)
@@ -865,7 +873,7 @@ class OutOfCoreTrainer:
                         frow[: len(pl)] = arr[:, 0]
                         floc[: len(pl)] = arr[:, 1]
                     g, e, fg, fe = part_counts(
-                        rows_of(b, qb), cand, tgts[direction][b], n_valid,
+                        qrows[direction][b], cand, tgts[direction][b], n_valid,
                         mode=mode,
                         frow=jnp.asarray(frow), floc=jnp.asarray(floc),
                     )
