@@ -37,8 +37,8 @@ from skge_tpu.training import (
     make_pairwise_update,
     make_pointwise_update,
     pairwise_grads_fused,
-    pairwise_grads_shared,
-    pointwise_grads_shared,
+    select_shared_pairwise_fn,
+    select_shared_pointwise_fn,
 )
 
 
@@ -75,7 +75,7 @@ def make_sharded_pairwise_step(
             # and pool-row gradients psum back — both O(K*d), independent
             # of batch size
             pool_idx = sampler.pool(sk, batch, mask)
-            loss, nviol, occ, g_dense = pairwise_grads_shared(
+            loss, nviol, occ, g_dense = select_shared_pairwise_fn(model)(
                 model, state.params, batch, pool_idx, mask, margin,
                 modes=sampler.modes,
             )
@@ -132,7 +132,7 @@ def make_sharded_pointwise_step(
         key, sk = jax.random.split(state.key)
         if shared:
             pool_idx = sampler.pool(sk, batch, mask)
-            loss, occ, g_dense = pointwise_grads_shared(
+            loss, occ, g_dense = select_shared_pointwise_fn(model)(
                 model, state.params, batch, pool_idx, mask,
                 modes=sampler.modes,
             )

@@ -41,13 +41,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from skge_tpu.models.base import KGEModel
 from skge_tpu.optim import Optimizer
-from skge_tpu.ops.aggregate import DenseGrads
+from skge_tpu.ops.aggregate import DenseGrads, FactoredOcc
 from skge_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from skge_tpu.training import (
     StepMetrics,
     TrainState,
     pairwise_grads_fused,
-    pairwise_grads_shared,
+    select_shared_pairwise_fn,
 )
 
 
@@ -144,7 +144,22 @@ def _apply_row_occurrences(model, opt, state, new_params, new_opt, occ,
     """
     reg = model.regularization
     reg3 = model.regularization_n3
-    for pname, (idx, grads, counts) in occ.items():
+    for pname, entry in occ.items():
+        if isinstance(entry, FactoredOcc):
+            # factored rank-2 W cotangents (RESCAL dispatch): under SPMD
+            # the sanctioned aggregation is the XLA fallback of
+            # `segment_outer_mean_dense` — materialize the outers inside
+            # ONE fused scatter-add (the pallas VMEM kernel owns a whole
+            # table and is single-device). Counts/averaging semantics are
+            # identical to the 3-tuple path below.
+            idx = entry.idx
+            grads = sum(
+                u[:, :, None] * v[:, None, :]
+                for u, v in zip(entry.us, entry.vs)
+            )
+            counts = entry.count
+        else:
+            idx, grads, counts = entry
         if scale is not None:
             grads = grads * scale
         if pname in local_rows:
@@ -235,6 +250,8 @@ def make_shardmap_pairwise_step(
         model, opt, m_size, shard_relations
     )
     shared = hasattr(sampler, "pool")
+    # same factored-model dispatch as the single-device builder (ADVICE r4)
+    shared_grads_fn = select_shared_pairwise_fn(model)
 
     def local_step(modes, state: TrainState, batch, mask, draws):
         params = state.params
@@ -245,7 +262,7 @@ def make_shardmap_pairwise_step(
         key = state.key  # already advanced by the global-sampling wrapper
         if shared:
             (pool_idx,) = draws
-            loss, nviol, occ, g_dense = pairwise_grads_shared(
+            loss, nviol, occ, g_dense = shared_grads_fn(
                 model, params, batch, pool_idx, mask, margin,
                 modes=modes, gather=gather,
             )
@@ -425,7 +442,12 @@ def make_shardmap_pointwise_step(
             "(SharedNegativeSampler); iid samplers route to the GSPMD "
             "make_sharded_pointwise_step"
         )
-    from skge_tpu.training import pointwise_grads_shared
+    from skge_tpu.training import select_shared_pointwise_fn
+
+    # same dispatch as the single-device builder: factored models
+    # (RESCAL) take the bilinear path whose W cotangent never
+    # materializes per-occurrence (d, d) blocks (ADVICE r4)
+    grads_fn = select_shared_pointwise_fn(model)
 
     m_size = mesh.shape[MODEL_AXIS]
     local_rows, state_spec, metrics_spec = _pool_state_specs(
@@ -441,7 +463,7 @@ def make_shardmap_pointwise_step(
         gather = _make_gather(params, local_rows, offs)
 
         key = state.key  # advanced by the global-sampling wrapper
-        loss, occ, g_dense = pointwise_grads_shared(
+        loss, occ, g_dense = grads_fn(
             model, params, batch, pool_idx, mask,
             modes=modes, gather=gather,
         )
