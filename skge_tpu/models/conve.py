@@ -36,10 +36,10 @@ TPU design:
   score_all_o(o, inv(p)). Filtered-ranking evaluation then works
   unmodified in both directions.
 - With `reciprocal=False`, `score_all_s` is still available through a
-  per-relation candidate-hidden-table sweep (cost linear in
-  n_relations; gated at 256 — see the method) so non-reciprocal ConvE
-  evaluates under the full two-direction protocol like every other
-  model.
+  per-relation candidate-hidden-table sweep over the batch's DISTINCT
+  relations (cost independent of n_relations — see the method; the old
+  256-relation gate is gone) so non-reciprocal ConvE evaluates under
+  the full two-direction protocol like every other model.
 """
 
 from __future__ import annotations
@@ -188,27 +188,23 @@ class ConvE(KGEModel):
     def score_all_s(self, params: Params, o, p):
         if self.reciprocal:
             return self.score_all_o(params, o, self._inv(p))
-        # Non-reciprocal subject sweep (round 4; closes the one remaining
-        # NotImplementedError capability edge): hidden() is a function of
-        # (candidate, p), so candidates cannot ride one matmul the way
-        # score_all_o's do. The TPU-shaped factoring is BY RELATION: build
-        # the candidate hidden table H_r = hidden(E, r) (n_e, d) once per
-        # relation — entity-chunked lax.scan keeps the conv activations
-        # bounded at (chunk, nfilters, oh, ow) — then every query row with
-        # relation r is one (B, d) x (d, n_e) MXU dot against H_r, gated
-        # by lax.cond so relations absent from the batch skip their table
-        # at runtime. Cost is linear in n_relations (n_r * n_e hidden
-        # evals + n_r * B * n_e * d dot FLOPs per batch): right for
-        # WN18-like relation counts, hopeless at FB15k's 1,345 — hence
-        # the gate below; use the reciprocal protocol there (the paper's
-        # own setting).
-        if self.n_relations > 256:
-            raise ValueError(
-                f"non-reciprocal ConvE subject sweeps scale linearly in "
-                f"n_relations ({self.n_relations} here; gated at 256): "
-                "train with reciprocal relations instead "
-                "(data.add_reciprocal_relations + reciprocal=True)"
-            )
+        # Non-reciprocal subject sweep (round 4, de-gated round 5):
+        # hidden() is a function of (candidate, p), so candidates cannot
+        # ride one matmul the way score_all_o's do. The TPU-shaped
+        # factoring is BY RELATION: build the candidate hidden table
+        # H_r = hidden(E, r) (n_e, d) once per DISTINCT batch relation —
+        # entity-chunked lax.scan keeps the conv activations bounded at
+        # (chunk, nfilters, oh, ow) — then every query row with relation r
+        # is one (B, d) x (d, n_e) MXU dot against H_r. The scan iterates
+        # the batch's unique relations (sort + first-occurrence compaction,
+        # static trip count min(B, n_r); padding slots carry sentinel -1
+        # and lax.cond skips them at runtime), so cost is
+        # distinct_rels_in_batch * (n_e hidden evals + B*n_e*d dot FLOPs)
+        # — independent of n_relations. FB15k's 1,345 relations (the old
+        # 256 gate's cliff) now pay only for relations a batch touches;
+        # the inherent worst case (B distinct relations per batch) is why
+        # the reciprocal protocol (the paper's own) stays the recommended
+        # route: score_all_s there is ONE score_all_o call.
         d = self.ncomp
         n_e = self.n_entities
         dense = self.dense_params(params)
@@ -229,16 +225,27 @@ class ConvE(KGEModel):
             _, h = jax.lax.scan(c_body, None, e_chunks)
             return h.reshape(n_pad, d)[:n_e]         # (n_e, d)
 
+        # unique relations of THIS batch, compacted to the front (stable
+        # argsort keeps first occurrences), padded with sentinel -1
+        b = o.shape[0]
+        sp = jnp.sort(p)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), sp[1:] != sp[:-1]]
+        )
+        order = jnp.argsort(~first, stable=True)
+        uniq = jnp.where(first[order], sp[order], -1)
+        trips = min(b, self.n_relations)
+        uniq = uniq[:trips]
+
         def rel_body(acc, r):
-            hit = p == r
-
             def live(acc):
-                sc = self.mxu(eo, hidden_table(params["R"][r]).T)  # (B, n_e)
-                return acc + jnp.where(hit[:, None], sc, 0.0)
+                rvec = params["R"][jnp.maximum(r, 0)]
+                sc = self.mxu(eo, hidden_table(rvec).T)      # (B, n_e)
+                return acc + jnp.where((p == r)[:, None], sc, 0.0)
 
-            acc = jax.lax.cond(jnp.any(hit), live, lambda a: a, acc)
+            acc = jax.lax.cond(r >= 0, live, lambda a: a, acc)
             return acc, None
 
         acc = jnp.zeros((o.shape[0], n_e), eo.dtype)
-        acc, _ = jax.lax.scan(rel_body, acc, jnp.arange(self.n_relations))
+        acc, _ = jax.lax.scan(rel_body, acc, uniq)
         return acc + bo[:, None]

@@ -130,11 +130,23 @@ def test_score_all_s_nonreciprocal_per_relation_sweep():
             numpy_scores(model, params, np.full(B, e), o, p),
             rtol=1e-6, atol=1e-8,
         )
-    # the linear-in-n_relations cost gate names the reciprocal fix
-    big = dataclasses.replace(model, n_relations=300, reciprocal=False)
-    with pytest.raises(ValueError, match="reciprocal"):
-        big.score_all_s(
-            params, jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32)
+    # FB15k-shape smoke (round 5, VERDICT r4 item 6): the sweep scans the
+    # batch's UNIQUE relations, so 1,345 relations — the old 256 gate's
+    # cliff — cost only what the batch touches; exactness unchanged
+    big = ConvE(N_E, 1345, D, nfilters=C, dtype="float64",
+                reciprocal=False)
+    bparams = big.init_params(jax.random.PRNGKey(7))
+    rng = np.random.default_rng(77)
+    ob = rng.integers(0, N_E, 5).astype(np.int32)
+    pb = np.array([0, 1344, 700, 700, 3], np.int32)
+    sweep = np.asarray(
+        big.score_all_s(bparams, jnp.asarray(ob), jnp.asarray(pb))
+    )
+    for e in range(0, N_E, 7):
+        np.testing.assert_allclose(
+            sweep[:, e],
+            numpy_scores(big, bparams, np.full(5, e), ob, pb),
+            rtol=1e-6, atol=1e-8,
         )
 
 
