@@ -481,3 +481,31 @@ def test_streamed_reciprocal_eval_needs_doubled_relations():
     ooc = OutOfCoreTrainer(model, AdaGrad(lr=0.1), ds.train, n_parts=2)
     with pytest.raises(ValueError, match="DOUBLED"):
         ooc.evaluate(ds.test, ds.all_triples(), reciprocal=True)
+
+
+def test_auto_ce_loss_routes_by_partition_count():
+    """loss='auto_ce' applies the measured P-crossover rule
+    (choose_ce_loss: resident CE at P<=2, sampled-CE at P>=3 —
+    RESULTS.md OOC CE A/B) and records an auditable report."""
+    from skge_tpu.outofcore import choose_ce_loss
+
+    assert choose_ce_loss(1)[0] == "ce"
+    assert choose_ce_loss(2)[0] == "ce"
+    assert choose_ce_loss(3)[0] == "sampled_ce"
+    assert choose_ce_loss(4)[0] == "sampled_ce"
+
+    ds = synthetic_kg(n_entities=60, n_relations=3, n_train=300, seed=3)
+    lo = OutOfCoreTrainer(
+        DistMult(ds.n_entities, ds.n_relations, 8), AdaGrad(lr=0.05),
+        ds.train, n_parts=2, k=16, nbatches=4, seed=0, loss="auto_ce",
+        ce_directions=("o",),
+    )
+    assert lo.loss == "ce" and lo.loss_report["n_parts"] == 2
+    hi = OutOfCoreTrainer(
+        DistMult(ds.n_entities, ds.n_relations, 8), AdaGrad(lr=0.05),
+        ds.train, n_parts=4, k=16, nbatches=4, seed=0, loss="auto_ce",
+        ce_directions=("o",),
+    )
+    assert hi.loss == "sampled_ce"
+    hi.fit(epochs=1)  # resolved loss actually trains
+    assert np.isfinite(hi.metrics[-1]["loss"])
