@@ -13,11 +13,14 @@ CONTRAST model, under the shared CE protocol (reciprocal + object-direction
 full CE ls=0.1 + Adam 1e-3 — the protocol that separates families at full
 scale, RESULTS.md).
 
-Each point shells out to scripts/quality_suite.py (one TPU client at a
-time; its /tmp latent-KG cache makes re-runs cheap) and parses the JSON
-row lines. Defaults: 10,000 entities (4x cheaper per CE epoch than the
-40,943 full scale; the density axis, not the entity count, is the variable
-under study), densities {2, 3.45, 5, 8, 12}.
+Each point calls scripts/quality_suite.py's `main` IN-PROCESS (round 5:
+the round-4 version shelled out per point, paying the axon tunnel's
+~6-min client-release tax 15x over the full curve — NEXT.md operational
+notes; one process is one tunnel client for the whole curve, and later
+points reuse the warm jit caches) and parses the JSON row lines.
+Defaults: 10,000 entities (4x cheaper per CE epoch than the 40,943 full
+scale; the density axis, not the entity count, is the variable under
+study), densities {2, 3.45, 5, 8, 12}.
 
 Usage:
     python scripts/density_curve.py [--out /tmp/density_curve.jsonl]
@@ -28,13 +31,18 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import contextlib
+import io
 import json
 import os
-import subprocess
 import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+import quality_suite  # noqa: E402  (sibling script)
 
 # geometry -> (latent_dim, matched model, contrast model). latent dims match
 # the round-3 full-scale tables (RESULTS.md): translational 32, bilinear 8
@@ -71,8 +79,7 @@ def main(argv=None) -> None:
         latent, matched, contrast = GEOMETRIES[kg]
         for dens in densities:
             ntrain = int(round(dens * args.entities))
-            cmd = [
-                sys.executable, os.path.join(HERE, "quality_suite.py"),
+            qs_argv = [
                 "--kg", kg, "--entities", str(args.entities),
                 "--relations", str(args.relations),
                 "--ntrain", str(ntrain), "--latent-dim", str(latent),
@@ -83,14 +90,22 @@ def main(argv=None) -> None:
                 "--models", f"{matched},{contrast}",
             ]
             if args.cpu:
-                cmd.append("--cpu")
+                qs_argv.append("--cpu")
             t0 = time.perf_counter()
-            proc = subprocess.run(cmd, capture_output=True, text=True)
-            if proc.returncode != 0:
-                print(proc.stdout[-2000:], file=sys.stderr)
-                print(proc.stderr[-2000:], file=sys.stderr)
-                raise SystemExit(f"point failed: {kg} density={dens}")
-            for line in proc.stdout.splitlines():
+            buf = io.StringIO()
+            try:
+                with contextlib.redirect_stdout(buf):
+                    quality_suite.main(qs_argv)
+            except SystemExit as e:
+                if e.code not in (0, None):
+                    print(buf.getvalue()[-2000:], file=sys.stderr)
+                    raise SystemExit(f"point failed: {kg} density={dens}")
+            except Exception as e:
+                print(buf.getvalue()[-2000:], file=sys.stderr)
+                raise SystemExit(
+                    f"point failed: {kg} density={dens}: {e!r}"
+                )
+            for line in buf.getvalue().splitlines():
                 try:
                     r = json.loads(line)
                 except (json.JSONDecodeError, ValueError):
