@@ -41,8 +41,8 @@ def run_one(argv, out):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe-lrs", default="1e-3,3e-3,1e-2")
-    ap.add_argument("--probe-epochs", type=int, default=4)
-    ap.add_argument("--final-epochs", type=int, default=6)
+    ap.add_argument("--probe-epochs", type=int, default=3)
+    ap.add_argument("--final-epochs", type=int, default=4)
     ap.add_argument("--out", default=".flagship_r5.jsonl")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true",
@@ -63,7 +63,13 @@ def main() -> None:
         probe_shape = ["--entities", "1000000", "--latent-dim", "6",
                        "--ntrain", "4000000", "--nheld", "2000",
                        "--parts", "4", "--eval-n", "200"]
-        final_shape = []  # flagship_10m defaults: 11.39M entities / 45.6M
+        # flagship_10m defaults (11.39M entities / 45.6M triples) except
+        # eval-n: 500 held-out queries keep the streamed-eval wall-clock
+        # inside the shared-tunnel budget (cost ~ queries x n_e x d; the
+        # 1M-shape 1000-query protocol point stays measured by the
+        # r5_quick OOC re-time job) while the MRR standard error at the
+        # >=100x-random bar stays far below the claim.
+        final_shape = ["--eval-n", "500"]
 
     probes = []
     for lr in args.probe_lrs.split(","):
