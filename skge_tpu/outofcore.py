@@ -820,14 +820,18 @@ class OutOfCoreTrainer:
             fe = jnp.zeros((b,), g.dtype).at[fr].add((sf == tf) * w)
             return g, e, fg, fe
 
-        @partial(jax.jit, static_argnames=("mode", "p"))
-        def target_from_part(rows, cand, tids, mode, p):
+        @partial(jax.jit, static_argnames=("mode",))
+        def target_from_part(rows, cand, tids, mode, off):
             # extract the target's score from the SAME streamed score
             # matrix used for counting — a separately-computed
             # score_from_rows target can differ by an ulp from the pool
-            # path and flip >/== comparisons on exact ties
+            # path and flip >/== comparisons on exact ties. `off` is the
+            # part's row offset as a TRACED scalar: a static part index
+            # would compile one variant per partition (P compiles per
+            # mode — measured as the dominant cost of the first streamed
+            # evaluate at the 1M flagship shape).
             sc = model.score_pool(rows, cand, dense, mode)     # (B, S)
-            loc = tids - p * s_rows
+            loc = tids - off
             inp = jnp.logical_and(loc >= 0, loc < sc.shape[1])
             got = sc[jnp.arange(sc.shape[0]), jnp.clip(loc, 0, sc.shape[1] - 1)]
             return jnp.where(inp, got, 0)
@@ -862,7 +866,8 @@ class OutOfCoreTrainer:
                 for b in range(nb):
                     tids = jnp.asarray(qb[b, :, tcol])
                     tgts[direction][b] = tgts[direction][b] + target_from_part(
-                        qrows[direction][b], cand, tids, mode=mode, p=p
+                        qrows[direction][b], cand, tids, mode=mode,
+                        off=jnp.int32(p * s_rows),
                     )
 
         # per (direction, batch, part) filter pairs, pow2-padded (row=bs pads)
@@ -889,7 +894,16 @@ class OutOfCoreTrainer:
                         )
                 fpairs[direction].append(per_part)
 
-        # pass 2: greater/equal counts vs the assembled targets
+        # pass 2: greater/equal counts vs the assembled targets. One
+        # GLOBAL pow2 filter-pad width for the whole evaluate: per-call
+        # widths would recompile part_counts once per distinct width
+        # (compile tax measured dominant on first streamed evals); the
+        # cost of the shared width is only the max batch's pair count.
+        wmax = max(
+            [len(pl) for d in dir_specs for pp in fpairs[d]
+             for pl in pp.values()] or [0]
+        )
+        width = 1 if wmax <= 1 else 1 << (wmax - 1).bit_length()
         zeros = jnp.zeros((bs,), jnp.int32)
         acc = {d: {b: [zeros, zeros, zeros, zeros] for b in range(nb)}
                for d in dir_specs}
@@ -899,9 +913,6 @@ class OutOfCoreTrainer:
             for direction, (qb, mode, tcol) in dir_specs.items():
                 for b in range(nb):
                     pl = fpairs[direction][b].get(p, [])
-                    width = 1 if len(pl) <= 1 else 1 << (
-                        len(pl) - 1
-                    ).bit_length()
                     frow = np.full((width,), bs, np.int32)
                     floc = np.zeros((width,), np.int32)
                     if pl:
