@@ -55,13 +55,43 @@ def status(**kw):
         f.write(json.dumps(kw) + "\n")
 
 
+class JsonLineSink(io.TextIOBase):
+    """Append every parseable JSON-dict stdout line to `path` AS IT
+    PRINTS — a stage killed mid-run (timeout / tunnel wedge) keeps the
+    rows it already produced."""
+
+    def __init__(self, path, extra=None):
+        self.path, self.extra, self._buf = path, extra, ""
+
+    def write(self, s):
+        self._buf += s
+        while "\n" in self._buf:
+            line, self._buf = self._buf.split("\n", 1)
+            try:
+                r = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(r, dict):
+                if self.extra:
+                    r.update(self.extra)
+                with open(self.path, "a") as f:
+                    f.write(json.dumps(r) + "\n")
+        return len(s)
+
+    def flush(self):
+        pass
+
+
 def run_stage(name, fn, artifact=None, extra=None):
-    """Run fn() capturing stdout; append its JSON lines to `artifact`."""
+    """Run fn(); stream its JSON stdout lines into `artifact` live."""
     t0 = time.perf_counter()
     status(stage=name, event="start")
     buf = io.StringIO()
+    sinks = [sys.__stdout__, buf]
+    if artifact:
+        sinks.append(JsonLineSink(os.path.join(ROOT, artifact), extra))
     try:
-        with contextlib.redirect_stdout(Tee(sys.__stdout__, buf)):
+        with contextlib.redirect_stdout(Tee(*sinks)):
             fn()
     except SystemExit as e:
         if e.code not in (0, None):
@@ -73,20 +103,6 @@ def run_stage(name, fn, artifact=None, extra=None):
                tb=traceback.format_exc()[-2000:],
                tail=buf.getvalue()[-1500:])
         return False
-    if artifact:
-        rows = []
-        for line in buf.getvalue().splitlines():
-            try:
-                r = json.loads(line)
-            except (json.JSONDecodeError, ValueError):
-                continue
-            if isinstance(r, dict):
-                if extra:
-                    r.update(extra)
-                rows.append(r)
-        with open(os.path.join(ROOT, artifact), "a") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
     status(stage=name, event="done",
            wall_s=round(time.perf_counter() - t0, 1))
     return True
@@ -97,7 +113,7 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes to smoke the campaign flow on CPU")
-    ap.add_argument("--stages", default="rowop,bench,seeds,ooc",
+    ap.add_argument("--stages", default="rowop,seeds,ooc,bench",
                     help="comma subset of {rowop,bench,seeds,ooc}")
     args = ap.parse_args()
     stages = set(args.stages.split(","))
@@ -117,20 +133,6 @@ def main() -> None:
             rowop_bench.main()
 
         run_stage("rowop", do_rowop, ".rowop_r5.jsonl")
-
-    if "bench" in stages:
-        import bench
-
-        def do_bench():
-            argv = ["bench.py", "--all"] + cpu
-            if args.smoke:
-                argv += ["--entities", "2000", "--relations", "20",
-                         "--ntrain", "10000", "--nbatches", "4",
-                         "--epochs", "1"]
-            sys.argv = argv
-            bench.main()
-
-        run_stage("bench_all", do_bench, ".bench_matrix_r05.jsonl")
 
     if "seeds" in stages:
         import quality_suite
@@ -172,6 +174,23 @@ def main() -> None:
             flagship_10m.main(argv)
 
         run_stage("ooc_retime", do_ooc, ".ooc_retime_r5.jsonl")
+
+    if "bench" in stages:
+        # LAST on purpose: the longest stage (20 matrix rows, each with
+        # its own compiles) is the one a round-end truncation should hit;
+        # JsonLineSink keeps every completed row either way.
+        import bench
+
+        def do_bench():
+            argv = ["bench.py", "--all"] + cpu
+            if args.smoke:
+                argv += ["--entities", "2000", "--relations", "20",
+                         "--ntrain", "10000", "--nbatches", "4",
+                         "--epochs", "1"]
+            sys.argv = argv
+            bench.main()
+
+        run_stage("bench_all", do_bench, ".bench_matrix_r05.jsonl")
 
     status(stage="campaign", event="drained")
 
